@@ -1,0 +1,225 @@
+"""Point grouping ops: ball / shell query, grouping, PointNet SA modules.
+
+TPU-native replacement of the reference's `pointnet2_stack` CUDA ops
+(`btcdet/ops/pointnet2/pointnet2_stack/`): `ball_query`, the BtcDet
+`shell_query` annulus variant (`src/shell_query_gpu.cu`), grouping, and
+`StackSAModuleMSG` with the BtcDet additions -- per-roi rotation and
+xy/z scaling of grouped offsets (`pointnet2_utils.py:150-193`).
+
+Design change for TPU: the reference uses a stacked-ragged layout
+(N1+N2+... points with per-batch counts). Here everything is dense
+padded `[B, N, ...]` with validity masks -- static shapes, and the
+query/group becomes a chunked distance computation + top-k that XLA
+vectorizes on the VPU. "First nsample points within radius in point
+order" (the CUDA kernel's semantics) is reproduced by top-k over a
+descending-index score.
+
+Also provides `three_nn` / `three_interpolate` and
+`furthest_point_sample` for the dense-batch (`pointnet2_batch`) surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _query_scores(dist2, valid_pts, r_inner2: float, r_outer2: float):
+    """Score matrix for 'first K in point order within the (annulus)
+    radius': in-range points get descending-by-index positive scores."""
+    N = dist2.shape[-1]
+    in_range = (dist2 <= r_outer2) & (dist2 >= r_inner2) & valid_pts
+    order_score = jnp.arange(N, 0, -1, dtype=jnp.float32)
+    return jnp.where(in_range, order_score, -1.0)
+
+
+def ball_query_group(
+    xyz: jax.Array,          # (B, N, 3)
+    xyz_mask: jax.Array,     # (B, N) bool
+    new_xyz: jax.Array,      # (B, M, 3)
+    new_mask: jax.Array,     # (B, M) bool
+    radius,                  # float or (inner, outer) for shell query
+    nsample: int,
+    features: jax.Array | None = None,  # (B, N, C)
+    chunk: int = 512,
+):
+    """Returns (grouped_xyz (B, M, nsample, 3) -- raw neighbor coords,
+    grouped_feats (B, M, nsample, C) or None, idx (B, M, nsample) int32,
+    empty_mask (B, M) bool). Empty balls give idx 0 and must be zeroed by
+    the caller (QueryAndGroup does)."""
+    if isinstance(radius, (list, tuple)):
+        r_in2, r_out2 = float(radius[0]) ** 2, float(radius[1]) ** 2
+    else:
+        r_in2, r_out2 = 0.0, float(radius) ** 2
+
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
+    pad = (-M) % chunk
+    q = jnp.concatenate([new_xyz, jnp.zeros((B, pad, 3), new_xyz.dtype)], axis=1)
+    qm = jnp.concatenate([new_mask, jnp.zeros((B, pad), bool)], axis=1)
+    n_chunks = q.shape[1] // chunk
+    q = q.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    qm = qm.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    def one_chunk(args):
+        qc, qmc = args  # (B, chunk, 3), (B, chunk)
+        d = qc[:, :, None, :] - xyz[:, None, :, :]  # (B, chunk, N, 3)
+        dist2 = jnp.sum(d * d, axis=-1)
+        score = _query_scores(dist2, xyz_mask[:, None, :], r_in2, r_out2)
+        top_score, top_idx = jax.lax.top_k(score, nsample)  # (B, chunk, nsample)
+        found = top_score > 0
+        cnt = found.sum(-1)
+        empty = (cnt == 0) | ~qmc
+        # CUDA semantics: slots beyond cnt repeat the first found index
+        first = top_idx[..., 0:1]
+        idx = jnp.where(found, top_idx, first)
+        idx = jnp.where(empty[..., None], 0, idx)
+        return idx.astype(jnp.int32), empty
+
+    idx, empty = jax.lax.map(one_chunk, (q, qm))
+    idx = idx.transpose(1, 0, 2, 3).reshape(B, M + pad, nsample)[:, :M]
+    empty = empty.transpose(1, 0, 2).reshape(B, M + pad)[:, :M]
+
+    # gather: (B, M, nsample, 3)
+    grouped_xyz = jax.vmap(lambda pts, ix: pts[ix])(xyz, idx)
+    grouped_feats = None
+    if features is not None:
+        grouped_feats = jax.vmap(lambda f, ix: f[ix])(features, idx)
+    return grouped_xyz, grouped_feats, idx, empty
+
+
+def query_and_group(
+    xyz, xyz_mask, new_xyz, new_mask, radius, nsample: int,
+    features=None, use_xyz: bool = True,
+    rotate_matrix=None,   # (B, M, 3, 3) optional per-query rotation
+    xy_scale=None,        # (B, M) optional
+    z_scale=None,
+    chunk: int = 512,
+):
+    """Reference `QueryAndGroup.forward`: offsets = neighbors - center,
+    empty balls zeroed, optional rotation then xy/z scaling of offsets,
+    concat [offsets, features]. Returns (B, M, nsample, 3+C)."""
+    grouped_xyz, grouped_feats, idx, empty = ball_query_group(
+        xyz, xyz_mask, new_xyz, new_mask, radius, nsample, features, chunk=chunk
+    )
+    offs = grouped_xyz - new_xyz[:, :, None, :]
+    offs = jnp.where(empty[..., None, None], 0.0, offs)
+    if rotate_matrix is not None:
+        # reference `QueryAndGroup.rotate`: p' = p @ R^T per query
+        offs = jnp.einsum("bmnj,bmij->bmni", offs, rotate_matrix)
+    if xy_scale is not None:
+        offs = offs.at[..., :2].divide(xy_scale[:, :, None, None])
+        offs = offs.at[..., 2:3].divide(z_scale[:, :, None, None])
+    if features is not None:
+        grouped_feats = jnp.where(empty[..., None, None], 0.0, grouped_feats)
+        out = jnp.concatenate([offs, grouped_feats], axis=-1) if use_xyz else grouped_feats
+    else:
+        assert use_xyz
+        out = offs
+    return out, empty
+
+
+class GroupMLP(nn.Module):
+    """Shared 1x1-conv MLP + BN + ReLU over grouped points, masked so
+    padded queries don't pollute BN statistics."""
+
+    channels: Sequence[int]
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        # x: (B, M, nsample, C); mask: (B, M) valid-query mask
+        B, M, S, _ = x.shape
+        m = jnp.broadcast_to(mask[:, :, None], (B, M, S)).reshape(-1)
+        h = x.reshape(B * M * S, -1)
+        for c in self.channels:
+            h = nn.Dense(c, use_bias=False)(h)
+            from . import sparse as _sparse  # local import to avoid cycle
+            h = _sparse.MaskedBatchNorm(
+                momentum=self.momentum, epsilon=self.epsilon, axis_name=self.axis_name
+            )(h, m, use_running_average=not train)
+            h = nn.relu(h)
+        return h.reshape(B, M, S, -1)
+
+
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale grouping SA module (reference `StackSAModuleMSG`)."""
+
+    radii: Sequence
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    pool_method: str = "max_pool"
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self, xyz, xyz_mask, new_xyz, new_mask, features=None, train: bool = False,
+        rotate_matrix=None, xy_scale=None, z_scale=None,
+    ):
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
+            grouped, empty = query_and_group(
+                xyz, xyz_mask, new_xyz, new_mask, radius, nsample,
+                features=features, use_xyz=self.use_xyz,
+                rotate_matrix=rotate_matrix, xy_scale=xy_scale, z_scale=z_scale,
+            )
+            h = GroupMLP(mlp, axis_name=self.axis_name, name=f"mlp_{i}")(
+                grouped, new_mask, train
+            )
+            if self.pool_method == "max_pool":
+                h = h.max(axis=2)
+            else:
+                h = h.mean(axis=2)
+            outs.append(h)
+        out = jnp.concatenate(outs, axis=-1)  # (B, M, sum(Cout))
+        return jnp.where(new_mask[..., None], out, 0.0)
+
+
+def three_nn(unknown, unknown_mask, known, known_mask):
+    """3 nearest neighbors (reference `pointnet2_batch` three_nn).
+    unknown: (B, N, 3), known: (B, M, 3) -> dist (B, N, 3), idx (B, N, 3)."""
+    d = unknown[:, :, None, :] - known[:, None, :, :]
+    dist2 = jnp.sum(d * d, axis=-1)
+    dist2 = jnp.where(known_mask[:, None, :], dist2, jnp.inf)
+    neg, idx = jax.lax.top_k(-dist2, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(features, idx, weight):
+    """features: (B, M, C); idx/weight: (B, N, 3) -> (B, N, C)."""
+    gathered = jax.vmap(lambda f, ix: f[ix])(features, idx)  # (B, N, 3, C)
+    return (gathered * weight[..., None]).sum(axis=2)
+
+
+def furthest_point_sample(xyz, mask, npoint: int):
+    """FPS (reference `pointnet2_batch` furthest_point_sampling).
+    xyz: (B, N, 3), mask: (B, N) -> (B, npoint) int32 indices."""
+    B, N, _ = xyz.shape
+
+    def one(pts, m):
+        dist = jnp.where(m, jnp.inf, -jnp.inf)  # masked points never chosen
+        dist = jnp.where(m, 1e10, -1.0)
+
+        def body(i, state):
+            dist, last, out = state
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            dist = jnp.minimum(dist, jnp.where(m, d, -1.0))
+            nxt = jnp.argmax(dist).astype(jnp.int32)
+            out = out.at[i].set(nxt)
+            return dist, nxt, out
+
+        out0 = jnp.zeros((npoint,), jnp.int32)
+        first = jnp.argmax(m).astype(jnp.int32)
+        out0 = out0.at[0].set(first)
+        _, _, out = jax.lax.fori_loop(1, npoint, body, (dist, first, out0))
+        return out
+
+    return jax.vmap(one)(xyz, mask)

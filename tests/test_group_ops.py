@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from btcdet_tpu.ops import group_ops
+
+
+def test_ball_query_first_k_in_point_order():
+    # 1 batch, points on a line; query at origin
+    xyz = np.zeros((1, 10, 3), np.float32)
+    xyz[0, :, 0] = [5.0, 0.1, 0.2, 0.3, 9.0, 0.15, 0.25, 7.0, 0.05, 8.0]
+    mask = np.ones((1, 10), bool)
+    new_xyz = np.zeros((1, 1, 3), np.float32)
+    new_mask = np.ones((1, 1), bool)
+
+    gx, gf, idx, empty = group_ops.ball_query_group(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        radius=0.5, nsample=4, chunk=4,
+    )
+    got = np.asarray(idx[0, 0])
+    # first 4 in-point-order within radius: indices 1, 2, 3, 5
+    np.testing.assert_array_equal(got, [1, 2, 3, 5])
+    assert not bool(empty[0, 0])
+
+
+def test_ball_query_repeat_and_empty():
+    xyz = np.zeros((1, 6, 3), np.float32)
+    xyz[0, :, 0] = [9.0, 0.1, 9.0, 9.0, 9.0, 9.0]
+    mask = np.ones((1, 6), bool)
+    new_xyz = np.zeros((1, 2, 3), np.float32)
+    new_xyz[0, 1, 0] = 100.0  # nothing near
+    new_mask = np.ones((1, 2), bool)
+    gx, gf, idx, empty = group_ops.ball_query_group(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        radius=0.5, nsample=3, chunk=2,
+    )
+    np.testing.assert_array_equal(np.asarray(idx[0, 0]), [1, 1, 1])  # repeat first
+    assert not bool(empty[0, 0]) and bool(empty[0, 1])
+
+
+def test_shell_query_annulus():
+    xyz = np.zeros((1, 5, 3), np.float32)
+    xyz[0, :, 0] = [0.05, 0.5, 1.0, 1.5, 3.0]
+    mask = np.ones((1, 5), bool)
+    new_xyz = np.zeros((1, 1, 3), np.float32)
+    new_mask = np.ones((1, 1), bool)
+    _, _, idx, empty = group_ops.ball_query_group(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        radius=(0.4, 2.0), nsample=4, chunk=1,
+    )
+    got = set(np.asarray(idx[0, 0]).tolist())
+    assert got == {1, 2, 3}  # 0.05 inside inner shell, 3.0 outside outer
+
+
+def test_query_and_group_rotation():
+    # one neighbor at +x; rotate group frame by -90deg
+    xyz = np.array([[[1.0, 0.0, 0.0]]], np.float32)
+    mask = np.ones((1, 1), bool)
+    new_xyz = np.zeros((1, 1, 3), np.float32)
+    new_mask = np.ones((1, 1), bool)
+    ang = np.pi / 2
+    rot = np.array(
+        [[[[np.cos(ang), np.sin(ang), 0], [-np.sin(ang), np.cos(ang), 0], [0, 0, 1]]]],
+        np.float32,
+    )
+    out, empty = group_ops.query_and_group(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        radius=2.0, nsample=1, rotate_matrix=jnp.asarray(rot),
+    )
+    # p'_i = sum_j p_j R[i, j] (torch einsum "nmj,nij->nmi"): (1,0,0) -> R[:,0]
+    got = np.asarray(out[0, 0, 0])
+    np.testing.assert_allclose(got, [0.0, -1.0, 0.0], atol=1e-6)
+
+
+def test_sa_module_shapes_and_masking():
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(2, 64, 3).astype(np.float32)
+    feats = rng.randn(2, 64, 4).astype(np.float32)
+    mask = np.ones((2, 64), bool)
+    mask[1, 40:] = False
+    new_xyz = rng.randn(2, 8, 3).astype(np.float32)
+    new_mask = np.ones((2, 8), bool)
+    new_mask[1, 5:] = False
+
+    mod = group_ops.PointSAModuleMSG(
+        radii=[0.8, 1.6], nsamples=[4, 8], mlps=[[4 + 3, 8], [4 + 3, 8]],
+    )
+    vars_ = mod.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        features=jnp.asarray(feats), train=False,
+    )
+    out = mod.apply(
+        vars_,
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz), jnp.asarray(new_mask),
+        features=jnp.asarray(feats), train=False,
+    )
+    assert out.shape == (2, 8, 16)
+    assert np.abs(np.asarray(out[1, 5:])).max() == 0.0
+
+
+def test_three_nn_interpolate():
+    known = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]]], np.float32)
+    kmask = np.ones((1, 4), bool)
+    unknown = np.array([[[0.4, 0.1, 0.0]]], np.float32)
+    umask = np.ones((1, 1), bool)
+    dist, idx = group_ops.three_nn(
+        jnp.asarray(unknown), jnp.asarray(umask), jnp.asarray(known), jnp.asarray(kmask)
+    )
+    assert set(np.asarray(idx[0, 0]).tolist()) == {0, 1, 2}
+    feats = np.eye(4, dtype=np.float32)[None]  # (1, 4, 4)
+    w = 1.0 / np.maximum(np.asarray(dist), 1e-8) ** 2
+    w = w / w.sum(-1, keepdims=True)
+    out = group_ops.three_interpolate(jnp.asarray(feats), idx, jnp.asarray(w))
+    assert abs(float(out[0, 0].sum()) - 1.0) < 1e-5
+    assert float(out[0, 0, 3]) == 0.0
+
+
+def test_fps_spreads():
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(1, 128, 3).astype(np.float32)
+    mask = np.ones((1, 128), bool)
+    idx = group_ops.furthest_point_sample(jnp.asarray(xyz), jnp.asarray(mask), 16)
+    got = np.asarray(idx[0])
+    assert len(set(got.tolist())) == 16  # distinct points

@@ -1,0 +1,219 @@
+"""Sparse conv engine correctness vs dense convolution on small grids
+(SURVEY.md §4 implication (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btcdet_tpu.ops import sparse
+
+
+def make_sparse(rng, shape=(5, 6, 7), batch=2, n_active=40, cap=64, cin=3):
+    nz, ny, nx = shape
+    # unique random sites
+    all_sites = np.array(
+        [(b, z, y, x) for b in range(batch) for z in range(nz) for y in range(ny) for x in range(nx)]
+    )
+    sel = rng.choice(len(all_sites), size=n_active, replace=False)
+    coords = np.full((cap, 4), -1, dtype=np.int32)
+    coords[:n_active] = all_sites[sel]
+    feats = np.zeros((cap, cin), dtype=np.float32)
+    feats[:n_active] = rng.randn(n_active, cin).astype(np.float32)
+    st = sparse.from_coords(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+    return st
+
+
+def dense_of(st):
+    return np.asarray(st.dense())  # (B, nz, ny, nx, C)
+
+
+def dense_conv(x, w_knc, kernel, stride, padding):
+    """x: (B, nz, ny, nx, Cin); w: (K, Cin, Cout) row-major (dz, dy, dx)."""
+    kz, ky, kx = kernel
+    w = np.asarray(w_knc).reshape(kz, ky, kx, w_knc.shape[1], w_knc.shape[2])
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x),
+        jnp.asarray(w),
+        window_strides=stride,
+        padding=[(padding[i], padding[i]) for i in range(3)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return np.asarray(out)
+
+
+def test_dense_roundtrip():
+    rng = np.random.RandomState(0)
+    st = make_sparse(rng)
+    d = dense_of(st)
+    assert d.shape == (2, 5, 6, 7, 3)
+    n_nonzero = (np.abs(d).sum(-1) > 0).sum()
+    assert n_nonzero <= 40
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.RandomState(1)
+    st = make_sparse(rng)
+    mod = sparse.SubMConv3d(out_channels=5, kernel_size=3)
+    params = mod.init(jax.random.PRNGKey(0), st, {})
+    out = mod.apply(params, st, {})
+    w = params["params"]["kernel"]
+
+    ref = dense_conv(dense_of(st), np.asarray(w), (3, 3, 3), (1, 1, 1), (1, 1, 1))
+    got = dense_of(out)
+    active = np.abs(dense_of(st)).sum(-1) > 0
+    np.testing.assert_allclose(got[active], ref[active], rtol=1e-4, atol=1e-5)
+    # submanifold: inactive sites stay empty
+    assert np.abs(got[~active]).max() == 0.0
+
+
+@pytest.mark.parametrize("stride,padding,kernel", [
+    ((2, 2, 2), (1, 1, 1), (3, 3, 3)),
+    ((1, 2, 2), (0, 1, 1), (1, 3, 3)),
+    ((2, 1, 1), (0, 0, 0), (3, 1, 1)),
+])
+def test_strided_conv_matches_dense(stride, padding, kernel):
+    rng = np.random.RandomState(2)
+    st = make_sparse(rng, shape=(6, 8, 8), n_active=60, cap=128)
+    mod = sparse.SparseConv3d(
+        out_channels=4, kernel_size=kernel, stride=stride, padding=padding,
+        out_capacity=512,
+    )
+    params = mod.init(jax.random.PRNGKey(0), st, {})
+    out = mod.apply(params, st, {})
+    w = params["params"]["kernel"]
+
+    ref = dense_conv(dense_of(st), np.asarray(w), kernel, stride, padding)
+    got = dense_of(out)
+    assert got.shape == ref.shape
+    # sparse output sites must carry the dense value
+    coords = np.asarray(out.coords)
+    for i in range(out.capacity):
+        b, z, y, x = coords[i]
+        if b < 0:
+            continue
+        np.testing.assert_allclose(got[b, z, y, x], ref[b, z, y, x], rtol=1e-4, atol=1e-5)
+    # all non-trivial dense outputs must be covered by sparse sites
+    site_mask = np.zeros(ref.shape[:4], dtype=bool)
+    for i in range(out.capacity):
+        b, z, y, x = coords[i]
+        if b >= 0:
+            site_mask[b, z, y, x] = True
+    np.testing.assert_allclose(ref[~site_mask], 0.0, atol=1e-5)
+
+
+def test_transpose_conv_matches_manual():
+    rng = np.random.RandomState(3)
+    st = make_sparse(rng, shape=(3, 4, 4), n_active=20, cap=32, cin=2)
+    mod = sparse.SparseConvTranspose3d(
+        out_channels=3, kernel_size=(2, 2, 2), stride=(2, 2, 2), padding=0,
+        out_capacity=256,
+    )
+    params = mod.init(jax.random.PRNGKey(0), st, {})
+    out = mod.apply(params, st, {})
+    w = np.asarray(params["params"]["kernel"]).reshape(2, 2, 2, 2, 3)
+
+    # manual scatter: out[i*s + off] += in[i] @ W[off]
+    x = dense_of(st)
+    ref = np.zeros((2, 6, 8, 8, 3), dtype=np.float32)
+    for b in range(2):
+        for z in range(3):
+            for y in range(4):
+                for xx in range(4):
+                    v = x[b, z, y, xx]
+                    if np.abs(v).sum() == 0:
+                        continue
+                    for dz in range(2):
+                        for dy in range(2):
+                            for dx in range(2):
+                                ref[b, 2 * z + dz, 2 * y + dy, 2 * xx + dx] += v @ w[dz, dy, dx]
+    got = dense_of(out)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_inverse_conv_restores_coords():
+    rng = np.random.RandomState(4)
+    st = make_sparse(rng, shape=(6, 8, 8), n_active=50, cap=128, cin=3)
+    cache = {}
+    down = sparse.SparseConv3d(
+        out_channels=4, kernel_size=3, stride=2, padding=1, indice_key="s2",
+        out_capacity=128,
+    )
+    p1 = down.init(jax.random.PRNGKey(0), st, cache)
+    cache = {}
+    mid = down.apply(p1, st, cache)
+    inv = sparse.SparseInverseConv3d(
+        out_channels=2, kernel_size=3, indice_key="s2", stride=2, padding=1,
+    )
+    p2 = inv.init(jax.random.PRNGKey(1), mid, cache)
+    out = inv.apply(p2, mid, cache)
+    np.testing.assert_array_equal(np.asarray(out.coords), np.asarray(st.coords))
+    assert out.spatial_shape == st.spatial_shape
+
+    # value check vs manual: fine f gets sum over coarse c, off with f = c*2-1+off
+    w = np.asarray(p2["params"]["kernel"]).reshape(3, 3, 3, 4, 2)
+    xc = dense_of(mid)
+    ref = np.zeros((2, 6, 8, 8, 2), dtype=np.float32)
+    for b in range(2):
+        for z in range(xc.shape[1]):
+            for y in range(xc.shape[2]):
+                for xx in range(xc.shape[3]):
+                    v = xc[b, z, y, xx]
+                    if np.abs(v).sum() == 0:
+                        continue
+                    for dz in range(3):
+                        for dy in range(3):
+                            for dx in range(3):
+                                fz, fy, fx = 2 * z - 1 + dz, 2 * y - 1 + dy, 2 * xx - 1 + dx
+                                if 0 <= fz < 6 and 0 <= fy < 8 and 0 <= fx < 8:
+                                    ref[b, fz, fy, fx] += v @ w[dz, dy, dx]
+    got = dense_of(out)
+    # only at restored (original) sites
+    active = np.abs(dense_of(st)).sum(-1) > 0
+    np.testing.assert_allclose(got[active], ref[active], rtol=1e-4, atol=1e-5)
+    assert np.abs(got[~active]).max() == 0.0
+
+
+def test_maxpool_matches_dense():
+    rng = np.random.RandomState(5)
+    st = make_sparse(rng, shape=(4, 6, 6), n_active=40, cap=64, cin=2)
+    mod = sparse.SparseMaxPool3d(kernel_size=2, stride=2, padding=0, out_capacity=64)
+    out = mod.apply({}, st, {})
+    x = dense_of(st)
+    got = dense_of(out)
+    occ = np.abs(x).sum(-1) > 0
+    for b in range(2):
+        for z in range(2):
+            for y in range(3):
+                for xx in range(3):
+                    block = x[b, 2*z:2*z+2, 2*y:2*y+2, 2*xx:2*xx+2].reshape(-1, 2)
+                    bocc = occ[b, 2*z:2*z+2, 2*y:2*y+2, 2*xx:2*xx+2].reshape(-1)
+                    if bocc.any():
+                        ref = block[bocc].max(axis=0)
+                        np.testing.assert_allclose(got[b, z, y, xx], ref, rtol=1e-5)
+                    else:
+                        np.testing.assert_allclose(got[b, z, y, xx], 0.0)
+
+
+def test_masked_batchnorm():
+    rng = np.random.RandomState(6)
+    x = rng.randn(32, 4).astype(np.float32)
+    mask = np.zeros(32, bool)
+    mask[:20] = True
+    bn = sparse.MaskedBatchNorm(momentum=0.1)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), use_running_average=False)
+    y, mutated = bn.apply(
+        variables, jnp.asarray(x), jnp.asarray(mask),
+        use_running_average=False, mutable=["batch_stats"],
+    )
+    y = np.asarray(y)
+    # normalized over the masked rows
+    np.testing.assert_allclose(y[:20].mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(y[:20].std(0), 1.0, atol=2e-2)
+    assert np.abs(y[20:]).max() == 0.0
+    # running stats moved toward batch stats
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        0.1 * x[:20].mean(0), rtol=1e-4, atol=1e-5,
+    )
