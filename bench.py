@@ -1,0 +1,74 @@
+"""Benchmark: flagship BtcDet KITTI-car inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is end-to-end eval forward (occ subnet -> PassOccVox -> det
+backbone -> RPN -> ConvHead -> final NMS) frames/sec on synthetic
+KITTI-shaped input at eval capacities. `vs_baseline` divides by the
+2x-single-V100 target from BASELINE.json: the reference publishes no
+throughput number (BASELINE.md), so we take 7.5 fps as a representative
+single-V100 BtcDet inference rate -> target 15 fps.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+V100_BASELINE_FPS = 7.5
+TARGET_FPS = 2 * V100_BASELINE_FPS
+
+
+def main(batch_size: int = 1, iters: int = 20, mode: str = "test"):
+    from btcdet_tpu.config import cfg_from_yaml_file
+    from btcdet_tpu.datasets import make_synthetic_batch
+    from btcdet_tpu.models import build_network
+    from btcdet_tpu.models.detectors.btcnet import post_processing
+
+    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(
+            cfg.DATA_CONFIG, batch_size=batch_size, num_points=16384,
+            num_gt=10, mode=mode,
+        ).items()
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda r, b: net.init(r, b, train=False))(rngs, batch)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = net.apply(variables, batch, train=False)
+        return post_processing(out, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
+
+    # compile + warmup
+    res = infer(variables, batch)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = infer(variables, batch)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    fps = batch_size * iters / dt
+
+    print(json.dumps({
+        "metric": "kitti_val_inference_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--mode", type=str, default="test")
+    a = p.parse_args()
+    main(a.batch_size, a.iters, a.mode)

@@ -151,6 +151,43 @@ def log_config_to_file(cfg: EasyDict, pre="cfg", logger=None):
             logger.info(f"{pre}.{key}: {val}")
 
 
+class CfgBox:
+    """Opaque wrapper so config trees can be stored as flax module fields
+    without being converted to FrozenDict (which drops attribute access).
+    Forwards attribute/item/get to the wrapped EasyDict."""
+
+    def __init__(self, cfg):
+        object.__setattr__(self, "_cfg", cfg)
+
+    @property
+    def raw(self):
+        return self._cfg
+
+    def __getattr__(self, k):
+        try:
+            return self._cfg[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __getitem__(self, k):
+        return self._cfg[k]
+
+    def __contains__(self, k):
+        return k in self._cfg
+
+    def get(self, k, default=None):
+        return self._cfg.get(k, default)
+
+    def __repr__(self):
+        return f"CfgBox({self._cfg!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, CfgBox) and self._cfg == other._cfg
+
+    def __hash__(self):
+        return hash(repr(sorted(self._cfg.keys())))
+
+
 # module-level global config, same idiom as the reference (`config.py:84-86`)
 cfg = EasyDict()
 cfg.ROOT_DIR = str(Path(__file__).resolve().parent.parent)

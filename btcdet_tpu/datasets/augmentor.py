@@ -1,0 +1,360 @@
+"""Data augmentation (reference `btcdet/datasets/augmentor/`).
+
+Queue of named augmentors driven by the YAML AUG_CONFIG_LIST:
+  gt_sampling           paste objects from the gt database into the scene
+                        (class-balanced sampling, road-plane height snap,
+                        BEV-IoU collision rejection; reference
+                        `database_sampler.py`)
+  add_multi_best_match  load per-object approximate complete shapes
+                        (`bm_*.pkl`) and place them for real + pasted
+                        boxes (reference `multi_best_match_querier.py`)
+  random_world_flip / random_world_rotation / random_world_scaling
+                        global transforms applied to gt, points, and the
+                        special point lists; SAVE_PRE_ROT stashes the
+                        pre-rotation points + rot_z degrees so the occ
+                        grid can be built in the sensor frame
+                        (reference `data_augmentor.py:136-155`)
+
+Pure numpy; runs in dataloader worker processes.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ..ops import iou3d
+from ..utils import box_utils, common
+
+SPECIAL_NAMES = ["bm_points"]
+
+
+def random_flip_along_x(gt_boxes, points, special_points_lst, enable=None, rng=None):
+    rng = rng or np.random
+    if enable is None:
+        enable = rng.choice([False, True])
+    if enable:
+        gt_boxes[:, 1] = -gt_boxes[:, 1]
+        gt_boxes[:, 6] = -gt_boxes[:, 6]
+        points[:, 1] = -points[:, 1]
+        for sp in special_points_lst:
+            if len(sp):
+                sp[:, 1] = -sp[:, 1]
+    return gt_boxes, points, special_points_lst
+
+
+def global_rotation(gt_boxes, points, rot_range, special_points_lst, rng=None):
+    rng = rng or np.random
+    noise_rotation = rng.uniform(rot_range[0], rot_range[1])
+    points[:, :3] = common.rotate_points_along_z_np(
+        points[None, :, :3], np.array([noise_rotation])
+    )[0]
+    gt_boxes[:, 0:3] = common.rotate_points_along_z_np(
+        gt_boxes[None, :, 0:3], np.array([noise_rotation])
+    )[0]
+    gt_boxes[:, 6] += noise_rotation
+    for sp in special_points_lst:
+        if len(sp):
+            sp[:, :3] = common.rotate_points_along_z_np(
+                sp[None, :, :3], np.array([noise_rotation])
+            )[0]
+    return gt_boxes, points, noise_rotation, special_points_lst
+
+
+def global_scaling(gt_boxes, points, scale_range, special_points_lst, rng=None):
+    rng = rng or np.random
+    if scale_range[1] - scale_range[0] < 1e-3:
+        return gt_boxes, points, special_points_lst
+    scale = rng.uniform(scale_range[0], scale_range[1])
+    points[:, :3] *= scale
+    gt_boxes[:, :6] *= scale
+    for sp in special_points_lst:
+        if len(sp):
+            sp[:, :3] *= scale
+    return gt_boxes, points, special_points_lst
+
+
+class DataBaseSampler:
+    """gt_sampling (reference `database_sampler.py`)."""
+
+    def __init__(self, root_path, sampler_cfg, class_names, logger=None):
+        self.root_path = Path(root_path)
+        self.class_names = class_names
+        self.sampler_cfg = sampler_cfg
+        self.logger = logger
+        self.db_infos = {c: [] for c in class_names}
+        for db_info_path in sampler_cfg.DB_INFO_PATH:
+            path = self.root_path / db_info_path
+            with open(path, "rb") as f:
+                infos = pickle.load(f)
+                for c in class_names:
+                    if c in infos:
+                        self.db_infos[c].extend(infos[c])
+        for func_name, val in sampler_cfg.PREPARE.items():
+            self.db_infos = getattr(self, func_name)(self.db_infos, val)
+
+        self.sample_groups = {}
+        self.sample_class_num = {}
+        self.limit_whole_scene = sampler_cfg.get("LIMIT_WHOLE_SCENE", False)
+        for x in sampler_cfg.SAMPLE_GROUPS:
+            class_name, sample_num = x.split(":")
+            if class_name not in class_names:
+                continue
+            self.sample_class_num[class_name] = int(sample_num)
+            self.sample_groups[class_name] = {
+                "sample_num": int(sample_num),
+                "pointer": len(self.db_infos[class_name]),
+                "indices": np.arange(len(self.db_infos[class_name])),
+            }
+
+    def filter_by_difficulty(self, db_infos, removed_difficulty):
+        new_db_infos = {}
+        for key, dinfos in db_infos.items():
+            new_db_infos[key] = [
+                info for info in dinfos if info["difficulty"] not in removed_difficulty
+            ]
+        return new_db_infos
+
+    def filter_by_min_points(self, db_infos, min_gt_points_list):
+        for name_num in min_gt_points_list:
+            name, min_num = name_num.split(":")
+            min_num = int(min_num)
+            if min_num > 0 and name in db_infos:
+                db_infos[name] = [
+                    info for info in db_infos[name]
+                    if info["num_points_in_gt"] >= min_num
+                ]
+        return db_infos
+
+    def sample_with_fixed_number(self, class_name, sample_group, rng):
+        sample_num, pointer, indices = (
+            sample_group["sample_num"], sample_group["pointer"], sample_group["indices"]
+        )
+        if pointer >= len(self.db_infos[class_name]):
+            indices = rng.permutation(len(self.db_infos[class_name]))
+            pointer = 0
+        sampled = [
+            self.db_infos[class_name][idx]
+            for idx in indices[pointer: pointer + sample_num]
+        ]
+        sample_group["pointer"] = pointer + sample_num
+        sample_group["indices"] = indices
+        return sampled
+
+    @staticmethod
+    def put_boxes_on_road_planes(gt_boxes, road_planes, calib):
+        """Snap sampled boxes to the road plane (reference
+        `database_sampler.py:91`)."""
+        a, b, c, d = road_planes
+        center_cam = calib.lidar_to_rect(gt_boxes[:, 0:3])
+        cur_height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+        center_cam[:, 1] = cur_height_cam
+        cur_lidar_height = calib.rect_to_lidar(center_cam)[:, 2]
+        mv_height = gt_boxes[:, 2] - gt_boxes[:, 5] / 2 - cur_lidar_height
+        gt_boxes[:, 2] -= mv_height
+        return gt_boxes, mv_height
+
+    def add_sampled_boxes_to_scene(self, data_dict, sampled_gt_boxes, total_valid_sampled_dict):
+        root = self.root_path
+        gt_boxes_mask = data_dict["gt_boxes_mask"]
+        gt_boxes = data_dict["gt_boxes"][gt_boxes_mask]
+        gt_names = data_dict["gt_names"][gt_boxes_mask]
+        points = data_dict["points"]
+        if self.sampler_cfg.get("USE_ROAD_PLANE", False) and "road_plane" in data_dict:
+            sampled_gt_boxes, mv_height = self.put_boxes_on_road_planes(
+                sampled_gt_boxes, data_dict["road_plane"], data_dict["calib"]
+            )
+        else:
+            mv_height = np.zeros(len(sampled_gt_boxes))
+
+        obj_points_list = []
+        image_idx_list = []
+        gt_idx_list = []
+        for idx, info in enumerate(total_valid_sampled_dict):
+            file_path = root / info["path"]
+            obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
+                [-1, self.sampler_cfg.NUM_POINT_FEATURES]
+            ).copy()
+            obj_points[:, :3] += info["box3d_lidar"][:3]
+            obj_points[:, 2] -= mv_height[idx]
+            obj_points_list.append(obj_points)
+            image_idx_list.append(info["image_idx"])
+            gt_idx_list.append(info["gt_idx"])
+
+        obj_points = (
+            np.concatenate(obj_points_list, axis=0)
+            if obj_points_list else np.zeros((0, points.shape[1]), points.dtype)
+        )
+        sampled_gt_names = np.array([x["name"] for x in total_valid_sampled_dict])
+
+        # remove scene points inside pasted boxes
+        if len(sampled_gt_boxes):
+            mask = np.asarray(
+                box_utils.points_in_boxes_mask(points[:, :3], sampled_gt_boxes[:, :7])
+            ).any(axis=1)
+            points = points[~mask]
+        data_dict["points"] = np.concatenate([obj_points, points], axis=0)
+        data_dict["gt_boxes"] = np.concatenate([gt_boxes, sampled_gt_boxes], axis=0)
+        data_dict["gt_names"] = np.concatenate([gt_names, sampled_gt_names], axis=0)
+        # bookkeeping for the bm querier (reference :214-215)
+        data_dict["aug_boxes_image_idx"] = np.array(image_idx_list)
+        data_dict["aug_boxes_gt_idx"] = np.array(gt_idx_list)
+        data_dict["gt_boxes_mask"] = np.ones(len(data_dict["gt_boxes"]), dtype=bool)
+        return data_dict
+
+    def __call__(self, data_dict, rng=None):
+        rng = rng or np.random
+        gt_boxes = data_dict["gt_boxes"]
+        gt_names = data_dict["gt_names"].astype(str)
+        existed_boxes = gt_boxes
+        total_valid_sampled_dict = []
+        sampled_mv_height = []
+        for class_name, sample_group in self.sample_groups.items():
+            if self.limit_whole_scene:
+                num_gt = np.sum(class_name == gt_names)
+                sample_group["sample_num"] = self.sample_class_num[class_name] - num_gt
+            if sample_group["sample_num"] > 0:
+                sampled_dict = self.sample_with_fixed_number(class_name, sample_group, rng)
+                sampled_boxes = np.stack(
+                    [x["box3d_lidar"] for x in sampled_dict], axis=0
+                ).astype(np.float32)
+
+                iou1 = iou3d.boxes_bev_iou_cpu(sampled_boxes[:, :7], existed_boxes[:, :7]) \
+                    if len(existed_boxes) else np.zeros((len(sampled_boxes), 0))
+                iou2 = iou3d.boxes_bev_iou_cpu(sampled_boxes[:, :7], sampled_boxes[:, :7])
+                iou2[range(len(sampled_boxes)), range(len(sampled_boxes))] = 0
+                iou1 = iou1 if iou1.shape[1] else iou2
+                valid = ((iou2.max(axis=1) + iou1.max(axis=1)) == 0).nonzero()[0]
+                valid_sampled_dict = [sampled_dict[x] for x in valid]
+                valid_sampled_boxes = sampled_boxes[valid]
+                existed_boxes = np.concatenate([existed_boxes, valid_sampled_boxes], axis=0)
+                total_valid_sampled_dict.extend(valid_sampled_dict)
+
+        sampled_gt_boxes = existed_boxes[gt_boxes.shape[0]:, :]
+        if len(total_valid_sampled_dict) > 0:
+            data_dict = self.add_sampled_boxes_to_scene(
+                data_dict, sampled_gt_boxes, total_valid_sampled_dict
+            )
+        data_dict.pop("gt_boxes_mask", None)
+        return data_dict
+
+
+class MltBestMatchQuerier:
+    """add_multi_best_match (reference `multi_best_match_querier.py`):
+    loads the per-object `bm_*.pkl` approximate complete shapes and
+    rotates/translates them into the scene for real and pasted boxes."""
+
+    def __init__(self, root_path, querier_cfg, class_names, logger=None):
+        self.root_path = Path(root_path)
+        self.cfg = querier_cfg
+        self.class_names = class_names
+        self.bm_roots = {
+            "Car": querier_cfg.get("CAR_MLT_BM_ROOT", None),
+            "Cyclist": querier_cfg.get("CYC_MLT_BM_ROOT", None),
+            "Pedestrian": querier_cfg.get("PED_MLT_BM_ROOT", None),
+        }
+
+    def _load_bm(self, cls_name, image_idx, gt_idx):
+        root = self.bm_roots.get(cls_name)
+        if root is None:
+            return None
+        path = self.root_path / root / f"{image_idx}_{gt_idx}.pkl"
+        if not path.exists():
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def __call__(self, data_dict, rng=None):
+        gt_boxes = data_dict["gt_boxes"]
+        gt_names = data_dict["gt_names"].astype(str)
+        n_aug = len(data_dict.get("aug_boxes_image_idx", []))
+        n_real = len(gt_boxes) - n_aug
+        frame_id = data_dict.get("frame_id")
+        bm_list = []
+        for i, (box, name) in enumerate(zip(gt_boxes, gt_names)):
+            if name not in self.class_names:
+                continue
+            if i < n_real:
+                image_idx, gt_idx = frame_id, data_dict.get("gt_idx_map", {}).get(i, i)
+            else:
+                j = i - n_real
+                image_idx = data_dict["aug_boxes_image_idx"][j]
+                gt_idx = data_dict["aug_boxes_gt_idx"][j]
+            pts = self._load_bm(name, image_idx, gt_idx)
+            if pts is None or len(pts) == 0:
+                continue
+            pts = np.asarray(pts, dtype=np.float32)[:, :3]
+            # canonical -> scene: rotate by box yaw, translate to center
+            c, s = np.cos(box[6]), np.sin(box[6])
+            world = np.stack([
+                pts[:, 0] * c - pts[:, 1] * s + box[0],
+                pts[:, 0] * s + pts[:, 1] * c + box[1],
+                pts[:, 2] + box[2],
+            ], axis=1)
+            bm_list.append(world)
+        data_dict["bm_points"] = (
+            np.concatenate(bm_list, axis=0).astype(np.float32)
+            if bm_list else np.zeros((0, 3), np.float32)
+        )
+        return data_dict
+
+
+class DataAugmentor:
+    def __init__(self, root_path, augmentor_configs, class_names, logger=None):
+        self.root_path = root_path
+        self.class_names = class_names
+        self.logger = logger
+        self.queue = []
+        disable = augmentor_configs.get("DISABLE_AUG_LIST", [])
+        for cfg in augmentor_configs.AUG_CONFIG_LIST:
+            if cfg.NAME in disable:
+                continue
+            self.queue.append((cfg.NAME, self._build(cfg)))
+
+    def _build(self, cfg):
+        name = cfg.NAME
+        if name == "gt_sampling":
+            return DataBaseSampler(self.root_path, cfg, self.class_names, self.logger)
+        if name == "add_multi_best_match":
+            return MltBestMatchQuerier(self.root_path, cfg, self.class_names, self.logger)
+        if name in ("random_world_flip", "random_world_rotation", "random_world_scaling"):
+            return cfg  # handled inline in forward
+        raise NotImplementedError(name)
+
+    def forward(self, data_dict, rng=None):
+        rng = rng or np.random
+        for name, handler in self.queue:
+            if name in ("gt_sampling", "add_multi_best_match"):
+                data_dict = handler(data_dict, rng=rng)
+                continue
+            cfg = handler
+            specials = [
+                data_dict[k] for k in SPECIAL_NAMES if k in data_dict and len(data_dict[k])
+            ]
+            if name == "random_world_flip":
+                gt, pts, specials = random_flip_along_x(
+                    data_dict["gt_boxes"], data_dict["points"], specials, rng=rng
+                )
+                data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            elif name == "random_world_scaling":
+                gt, pts, specials = global_scaling(
+                    data_dict["gt_boxes"], data_dict["points"],
+                    cfg.WORLD_SCALE_RANGE, specials, rng=rng,
+                )
+                data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            elif name == "random_world_rotation":
+                pre_rot_points = data_dict["points"].copy()
+                gt, pts, noise_rot, specials = global_rotation(
+                    data_dict["gt_boxes"], data_dict["points"],
+                    cfg.WORLD_ROT_ANGLE, specials, rng=rng,
+                )
+                data_dict["gt_boxes"], data_dict["points"] = gt, pts
+                if cfg.get("SAVE_PRE_ROT", False):
+                    data_dict["pre_rot_points"] = pre_rot_points
+                    data_dict["rot_z"] = noise_rot * 180.0 / np.pi
+        data_dict["gt_boxes"][:, 6] = common.limit_period_np(
+            data_dict["gt_boxes"][:, 6], offset=0.5, period=2 * np.pi
+        )
+        return data_dict

@@ -1,0 +1,350 @@
+"""BtcNet detector assembly (reference
+`btcdet/models/detectors/{btcnet.py, detector3d_template.py}`).
+
+One flax module composes the two sub-networks exactly like the
+reference's module topologies (`detector3d_template.py:28-34`):
+
+  occ:  occ_targets -> vfe -> backbone_3d -> occ_dense_head -> occ_pnt_update
+  det:  vfe -> backbone_3d -> map_to_bev -> backbone_2d -> dense_head -> roi_head
+
+The universal data bus is a plain dict of jnp arrays ("batch"), all
+static shapes. `build_network(cfg, ...)` reads the reference YAML schema
+and constructs the module; parameters live in two top-level collections
+(`occ_modules` / `det_modules` naming is preserved through parameter
+paths `occ_*` / everything else) so the dual-optimizer split and
+prefix-filtered checkpoint loading survive (reference
+`detector3d_template.py:594-678`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import iou3d, sparse, voxelizer
+from ...utils import common
+from .. import backbones_2d, map_to_bev, vfe
+from .. import backbones_3d
+from ..dense_heads import anchor_head as anchor_head_mod
+from ..occ import occ_subnet
+from ..roi_heads import conv_head as conv_head_mod
+from ..roi_heads import roi_head_utils
+
+
+class BtcNet(nn.Module):
+    """Full detector. Config objects are reference-schema EasyDicts."""
+
+    model_cfg: Any
+    data_cfg: Any
+    class_names: Sequence[str]
+    det_grid_size: tuple       # (nx, ny, nz)
+    point_cloud_range: tuple
+    det_voxel_size: tuple
+    num_point_features: int = 4
+    axis_name: str | None = None
+
+    def setup(self):
+        mc = self.model_cfg
+        self.use_occ = mc.get("OCC", None) is not None
+        if self.use_occ:
+            from ...config import CfgBox
+
+            self.occ = occ_subnet.OccSubnet(
+                model_cfg=CfgBox(mc.OCC),
+                data_cfg=self.data_cfg,
+                point_cloud_range=self.point_cloud_range,
+                axis_name=self.axis_name,
+                name="occ_subnet",
+            )
+            self.occ_code_num = int(self.data_cfg.OCC.get("CODE_NUM_DIM", 2))
+        else:
+            self.occ_code_num = 0
+
+        if mc.VFE.NAME == "OccVFE":
+            self.det_vfe = vfe.OccVFE(num_raw_features=self.num_point_features)
+        else:
+            self.det_vfe = vfe.MeanVFE(num_raw_features=self.num_point_features)
+
+        bb = mc.BACKBONE_3D
+        self.backbone_3d = backbones_3d.VoxelBackBone8xOcc(
+            input_channels=self.num_point_features + self.occ_code_num,
+            occ_code_num=self.occ_code_num,
+            occ_conv_type=tuple(bb.get("OCC_CONV_TYPE", [])),
+            occ_conv_exec=tuple(bb.get("OCC_CONV_EXECUTE", [])),
+            out_feat_type=tuple(bb.get("OUT_FEAT_TYPE", ["None"] * 4 + ["big_bev_combine"])),
+            out_att=tuple(bb.get("OCC_ATT", [False] * 4)),
+            axis_name=self.axis_name,
+            name="det_backbone_3d",
+        )
+        self.height_compression = map_to_bev.HeightCompression(mc.MAP_TO_BEV)
+        b2 = mc.BACKBONE_2D
+        self.backbone_2d = backbones_2d.BaseBEVBackbone(
+            layer_nums=tuple(b2.LAYER_NUMS),
+            layer_strides=tuple(b2.LAYER_STRIDES),
+            num_filters=tuple(b2.NUM_FILTERS),
+            upsample_strides=tuple(b2.UPSAMPLE_STRIDES),
+            num_upsample_filters=tuple(b2.NUM_UPSAMPLE_FILTERS),
+            name="det_backbone_2d",
+        )
+
+        dh = mc.DENSE_HEAD
+        anchors, per_class, per_loc = anchor_head_mod.generate_anchors(
+            self.point_cloud_range, self.det_grid_size, dh.ANCHOR_GENERATOR_CONFIG
+        )
+        self.dense_head = anchor_head_mod.AnchorHeadSingle(
+            num_class=len(self.class_names),
+            anchors=anchors,
+            anchors_per_class=tuple(per_class),
+            num_anchors_per_location=per_loc,
+            use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
+            dir_offset=dh.get("DIR_OFFSET", 0.78539),
+            dir_limit_offset=dh.get("DIR_LIMIT_OFFSET", 0.0),
+            num_dir_bins=dh.get("NUM_DIR_BINS", 2),
+            matched_thresholds=tuple(c["matched_threshold"] for c in dh.ANCHOR_GENERATOR_CONFIG),
+            unmatched_thresholds=tuple(c["unmatched_threshold"] for c in dh.ANCHOR_GENERATOR_CONFIG),
+            match_height=dh.TARGET_ASSIGNER_CONFIG.get("MATCH_HEIGHT", False),
+            cls_weight=dh.LOSS_CONFIG.LOSS_WEIGHTS["cls_weight"],
+            loc_weight=dh.LOSS_CONFIG.LOSS_WEIGHTS["loc_weight"],
+            dir_weight=dh.LOSS_CONFIG.LOSS_WEIGHTS["dir_weight"],
+            code_weights=tuple(dh.LOSS_CONFIG.LOSS_WEIGHTS["code_weights"]),
+            name="det_dense_head",
+        )
+
+        rh = mc.get("ROI_HEAD", None)
+        self.use_roi_head = rh is not None
+        if self.use_roi_head:
+            cg = rh.CONV_GRID_POOL
+            xc = cg.CONV_LAYER.get("x_combine", None)
+            self.roi_head = conv_head_mod.ConvHead(
+                num_class=1 if rh.get("CLASS_AGNOSTIC", True) else len(self.class_names),
+                grid_size=tuple(cg.GRID_SIZE),
+                dim_times=cg.get("DIM_TIMES", 1.0),
+                point_rot=cg.get("POINT_ROT", False),
+                features_source=tuple(cg.FEATURES_SOURCE),
+                raw_mlps=tuple(tuple(m) for m in cg.CONV_LAYER["raw_points"].MLPS)
+                if "raw_points" in cg.FEATURES_SOURCE else ((16, 16),),
+                raw_radii=tuple(cg.CONV_LAYER["raw_points"].POOL_RADIUS)
+                if "raw_points" in cg.FEATURES_SOURCE else (0.8,),
+                raw_nsamples=tuple(cg.CONV_LAYER["raw_points"].NSAMPLE)
+                if "raw_points" in cg.FEATURES_SOURCE else (16,),
+                occ_mlps=tuple(tuple(m) for m in cg.CONV_LAYER["occ_points"].MLPS)
+                if "occ_points" in cg.FEATURES_SOURCE else ((16, 16),),
+                occ_radii=tuple(cg.CONV_LAYER["occ_points"].POOL_RADIUS)
+                if "occ_points" in cg.FEATURES_SOURCE else (0.8,),
+                occ_nsamples=tuple(cg.CONV_LAYER["occ_points"].NSAMPLE)
+                if "occ_points" in cg.FEATURES_SOURCE else (16,),
+                raw_feat_dim=self.num_point_features - 3,
+                xc_part_scene=tuple(xc.PART_SCENE_SIZE) if xc else (-0.8, -0.8, -2.4, 0.8, 0.8, 2.4),
+                xc_ker_size=tuple(xc.KER_SIZE) if xc else (0.8, 0.4, 0.4),
+                xc_kernels=tuple(tuple(k) for k in xc.KERNEL) if xc else ((3, 3, 3),),
+                xc_paddings=tuple(tuple(p) for p in xc.PADDING) if xc else ((1, 1, 1),),
+                xc_strides=tuple(tuple(s) for s in xc.STRIDE) if xc else ((1, 1, 1),),
+                xc_channels=tuple(xc.CHANNEL) if xc else (128, 128),
+                xc_downsample=tuple(xc.DOWNSAMPLE_FACTOR) if xc else (8, 8, 8),
+                xc_scene_times=xc.get("SCENE_TIMES", 1.0) if xc else 1.0,
+                shared_fc=tuple(rh.SHARED_FC),
+                cls_fc=tuple(rh.CLS_FC),
+                reg_fc=tuple(rh.REG_FC),
+                dp_ratio=rh.get("DP_RATIO", 0.0),
+                point_cloud_range=tuple(self.point_cloud_range),
+                det_voxel_size=tuple(self.det_voxel_size),
+                rcnn_cls_weight=rh.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_cls_weight"],
+                rcnn_reg_weight=rh.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_reg_weight"],
+                rcnn_corner_weight=rh.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_corner_weight"],
+                code_weights=tuple(rh.LOSS_CONFIG.LOSS_WEIGHTS["code_weights"]),
+                corner_loss=rh.LOSS_CONFIG.get("CORNER_LOSS_REGULARIZATION", True),
+                name="det_roi_head",
+            )
+            self.nms_cfg_train = rh.NMS_CONFIG.TRAIN
+            self.nms_cfg_test = rh.NMS_CONFIG.TEST
+            tc = rh.TARGET_CONFIG
+            self.target_cfg = dict(
+                roi_per_image=int(tc.ROI_PER_IMAGE), fg_ratio=float(tc.FG_RATIO),
+                reg_fg_thresh=float(tc.REG_FG_THRESH), cls_fg_thresh=float(tc.CLS_FG_THRESH),
+                cls_bg_thresh=float(tc.CLS_BG_THRESH), cls_bg_thresh_lo=float(tc.CLS_BG_THRESH_LO),
+                hard_bg_ratio=float(tc.HARD_BG_RATIO),
+            )
+
+    def __call__(self, batch: dict, train: bool = False):
+        """batch keys (all static shapes):
+          points (B, P, 3+F), points_mask (B, P)
+          voxels (NV, mp, C), voxel_coords (NV, 4), voxel_num_points (NV)
+          [occ_*: occ grid voxel set when the occ subnet is enabled]
+          gt_boxes (B, G, 8) [train]
+        Returns a dict with predictions and (train) losses.
+        """
+        out = {}
+        batch_size = int(batch["points"].shape[0])
+        nz, ny, nx = int(self.det_grid_size[2]), int(self.det_grid_size[1]), int(self.det_grid_size[0])
+
+        occ_pnts = None
+        occ_pnts_mask = None
+
+        if self.use_occ:
+            occ_out = self.occ(batch, train=train)
+            out.update({f"occ_{k}": v for k, v in occ_out.items() if k.startswith("loss") or k.startswith("metric")})
+            # PassOccVox: merge predicted occ points into the det voxel set
+            voxels = occ_out["det_voxels"]
+            voxel_coords = occ_out["det_voxel_coords"]
+            voxel_num_points = occ_out["det_voxel_num_points"]
+            occ_pnts = occ_out["occ_points"]            # (B, Q, 4+) xyz + prob
+            occ_pnts_mask = occ_out["occ_points_mask"]  # (B, Q)
+            out["occ_probs"] = occ_out.get("probs")
+            if train and "loss" in occ_out:
+                out["occ_loss"] = occ_out["loss"]
+        else:
+            voxels = batch["voxels"]
+            voxel_coords = batch["voxel_coords"]
+            voxel_num_points = batch["voxel_num_points"]
+
+        if isinstance(self.det_vfe, vfe.OccVFE) and self.use_occ:
+            voxel_features, occ_code = self.det_vfe(voxels, voxel_num_points)
+        else:
+            voxel_features = self.det_vfe(voxels, voxel_num_points)
+            occ_code = None
+
+        # per-frame blocks are key-sorted but padding rows sit at each
+        # frame's end, so a global re-sort is still required
+        st = sparse.from_coords(
+            voxel_features, voxel_coords, (nz, ny, nx), batch_size
+        )
+        bb_out = self.backbone_3d(st, occ_code, train=train)
+        spatial = self.height_compression(bb_out["encoded"])
+        spatial_2d = self.backbone_2d(spatial, train=train)
+        head_out = self.dense_head(
+            spatial_2d, gt_boxes=batch.get("gt_boxes"), train=train
+        )
+        out["rpn_cls_preds"] = head_out["cls_preds"]
+        out["rpn_box_preds"] = head_out["batch_box_preds"]
+
+        if self.use_roi_head:
+            nms_cfg = self.nms_cfg_train if train else self.nms_cfg_test
+            proposals = roi_head_utils.proposal_layer(
+                head_out["batch_box_preds"],
+                head_out["cls_preds"],
+                nms_pre=int(nms_cfg["NMS_PRE_MAXSIZE"]),
+                nms_post=int(nms_cfg["NMS_POST_MAXSIZE"]),
+                nms_thresh=float(nms_cfg["NMS_THRESH"]),
+            )
+            if train:
+                rng = self.make_rng("sampling")
+                targets = roi_head_utils.assign_targets(
+                    rng, proposals, batch["gt_boxes"], **self.target_cfg
+                )
+                rois, roi_valid = targets["rois"], targets["roi_valid"]
+            else:
+                targets = None
+                rois, roi_valid = proposals.rois, proposals.roi_valid
+
+            rcnn_cls, rcnn_reg = self.roi_head(
+                rois, roi_valid,
+                points_xyz=batch["points"][..., :3],
+                points_feat=batch["points"][..., 3:],
+                points_mask=batch["points_mask"],
+                occ_xyz=occ_pnts[..., :3] if occ_pnts is not None else None,
+                occ_feat=occ_pnts[..., 3:4] if occ_pnts is not None else None,
+                occ_mask=occ_pnts_mask,
+                x_combine=bb_out["x_combine"],
+                train=train,
+            )
+            out["rois"] = rois
+            out["roi_valid"] = roi_valid
+            if train:
+                out["rcnn_targets"] = targets
+                out["rcnn_cls"] = rcnn_cls
+                out["rcnn_reg"] = rcnn_reg
+            else:
+                cls_preds, box_preds = self.roi_head.generate_predicted_boxes(
+                    rois, rcnn_cls, rcnn_reg
+                )
+                out["batch_cls_preds"] = cls_preds
+                out["batch_box_preds"] = box_preds
+                out["roi_labels"] = proposals.roi_labels
+
+        if train:
+            total, losses = self.get_training_loss(out, head_out)
+            out["loss"] = total
+            out["loss_dict"] = losses
+        return out
+
+    def get_training_loss(self, out, head_out):
+        """occ loss + rpn loss + rcnn loss (reference `btcnet.py:91`)."""
+        rpn_loss, losses = self.dense_head.get_loss(head_out)
+        total = rpn_loss
+        if self.use_roi_head and "rcnn_targets" in out:
+            rcnn_loss, rcnn_losses = self.roi_head.get_loss(
+                {"rcnn_cls": out["rcnn_cls"], "rcnn_reg": out["rcnn_reg"]},
+                out["rcnn_targets"],
+            )
+            total = total + rcnn_loss
+            losses.update(rcnn_losses)
+        if self.use_occ and "occ_loss" in out:
+            total = total + out["occ_loss"]
+            losses["occ_loss"] = out["occ_loss"]
+        return total, losses
+
+
+def post_processing(out, post_cfg, num_class: int):
+    """Final per-frame NMS over the refined boxes (reference
+    `detector3d_template.post_processing:363`). Class-agnostic path.
+
+    Returns dict of (B, post_max) arrays: boxes, scores, labels, valid.
+    """
+    nms_cfg = post_cfg.NMS_CONFIG
+    score_thresh = float(post_cfg.SCORE_THRESH)
+    cls_preds = out["batch_cls_preds"]  # (B, N, 1) raw logits
+    box_preds = out["batch_box_preds"]  # (B, N, 7)
+    roi_labels = out.get("roi_labels")
+    roi_valid = out.get("roi_valid")
+
+    scores = jax.nn.sigmoid(cls_preds.max(axis=-1))
+    labels = roi_labels if roi_labels is not None else (
+        cls_preds.argmax(axis=-1).astype(jnp.int32) + 1
+    )
+    valid = (scores >= score_thresh)
+    if roi_valid is not None:
+        valid = valid & roi_valid
+
+    def per_frame(boxes, sc, val, lab):
+        idx, keep = iou3d.nms_rotated(
+            boxes, sc, val,
+            thresh=float(nms_cfg.NMS_THRESH),
+            pre_max_size=int(nms_cfg.NMS_PRE_MAXSIZE),
+            post_max_size=int(nms_cfg.NMS_POST_MAXSIZE),
+        )
+        return boxes[idx], sc[idx], lab[idx], keep
+
+    b, s, l, v = jax.vmap(per_frame)(box_preds, scores, valid, labels)
+    return {
+        "pred_boxes": jnp.where(v[..., None], b, 0.0),
+        "pred_scores": jnp.where(v, s, 0.0),
+        "pred_labels": jnp.where(v, l, 0),
+        "pred_valid": v,
+    }
+
+
+def build_network(model_cfg, data_cfg, class_names, axis_name: str | None = None):
+    """Construct BtcNet from reference-schema configs."""
+    pcr = tuple(data_cfg.POINT_CLOUD_RANGE)
+    det_vox = None
+    for proc in data_cfg.DATA_PROCESSOR:
+        if proc.NAME in ("det_transform_points_to_voxels", "transform_points_to_voxels"):
+            det_vox = tuple(proc.VOXEL_SIZE)
+    assert det_vox is not None, "no det voxelization in DATA_PROCESSOR"
+    gx, gy, gz = voxelizer.compute_grid_size(pcr, det_vox)
+    n_feat = len(data_cfg.POINT_FEATURE_ENCODING["used_feature_list"])
+    from ...config import CfgBox as _CfgBox  # local alias avoids shadowing
+    return BtcNet(
+        model_cfg=_CfgBox(model_cfg),
+        data_cfg=_CfgBox(data_cfg),
+        class_names=tuple(class_names),
+        det_grid_size=(gx, gy, gz),
+        point_cloud_range=pcr,
+        det_voxel_size=det_vox,
+        num_point_features=n_feat,
+        axis_name=axis_name,
+    )

@@ -1,0 +1,396 @@
+"""Occupancy subnet: targets -> VFE -> dense backbone -> head -> PassOccVox
+(reference module topology `detector3d_template.py:32`:
+occ_targets -> vfe -> backbone_3d -> occ_dense_head -> occ_pnt_update).
+
+See `occ_targets.py` for the dense target formulation. The backbone is
+the dense `VoxelBackBoneDeconv`; the head (reference `occ_head_3D.py`)
+is a 3x3x3 conv producing softmax occupancy logits (+ residuals when
+REG), masked to `general_cls_loss_mask` for the published probability
+(`occ_head_3D.forward`). PassOccVox (reference `pass_occ_vox.py`)
+thresholds + top-K-caps the probabilities into occupancy points and
+merges them with the raw det voxel set by re-voxelizing the union at
+static capacity (`combine_gt_occ_voxel_point:262` semantics).
+
+Note the reference's EVAL_OCC_THRESH quirk (`add_occ_template.py:100-104`):
+the selection mask always uses the TRAIN threshold; only the point cap
+switches at eval. Replicated deliberately (SURVEY.md §7.2b).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import voxelizer
+from ...utils import coords, loss_utils
+from .. import backbones_3d, vfe
+from . import occ_targets as T
+
+
+class OccSubnet(nn.Module):
+    model_cfg: Any   # MODEL.OCC subtree
+    data_cfg: Any    # DATA_CONFIG subtree (with OCC block)
+    point_cloud_range: tuple  # det range
+    det_voxel_size: tuple = (0.05, 0.05, 0.1)
+    det_max_points_merged: int = 8
+    axis_name: str | None = None
+
+    def setup(self):
+        self.spec = T.build_grid_spec(self.data_cfg)
+        occ_d = self.data_cfg.OCC
+        p = self.model_cfg.PARAMS
+        self.occ_thresh = float(p.OCC_THRESH)
+        self.eval_occ_thresh = float(p.get("EVAL_OCC_THRESH", p.OCC_THRESH))
+        self.max_occ_pnts = int(p.MAX_NUM_OCC_PNTS)
+        self.eval_max_occ_pnts = int(p.get("EVAL_MAX_NUM_OCC_PNTS", p.MAX_NUM_OCC_PNTS))
+        self.reg = bool(p.get("REG", False))
+        self.res_num_dim = int(occ_d.get("RES_NUM_DIM", 3))
+        self.code_num_dim = int(occ_d.get("CODE_NUM_DIM", 2))
+        self.default_inten = float(occ_d.get("INTEN", 0.0) or 0.0)
+        self.box_weight = float(occ_d.get("BOX_WEIGHT", 1.0))
+        self.use_absxyz = occ_d.get("USE_ABSXYZ", "original")
+        self.maxprob_vfe = bool(occ_d.get("MAX_VFE", False))
+        self.pass_grad = bool(self.model_cfg.OCC_PNT_UPDATE.get("PASS_GRAD", False))
+
+        lw = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        self.w = {k: float(v) for k, v in lw.items() if not isinstance(v, (list, tuple))}
+        self.is_softmax = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.get("CLS_LOSS_TYPE", "") == "softmax"
+
+        self.vfe = vfe.MeanVFE(num_raw_features=4, maxprob=self.maxprob_vfe)
+        self.backbone = backbones_3d.VoxelBackBoneDeconv(
+            input_channels=4, axis_name=self.axis_name, name="backbone_3d"
+        )
+        cls_ch = 2 if self.is_softmax else 1
+        self.conv_cls = nn.Conv(cls_ch, (3, 3, 3), padding=1, use_bias=True, name="conv_cls")
+        if self.reg:
+            self.conv_res = nn.Conv(
+                self.res_num_dim, (3, 3, 3), padding=1, use_bias=False, name="conv_res"
+            )
+
+    def __call__(self, batch: dict, train: bool = False):
+        spec = self.spec
+        nx, ny, nz = spec.grid_size
+        voxels = batch["occ_voxels"]              # (N, P, 4) world-frame uvd + inten
+        vcoords = batch["occ_voxel_coords"]       # (N, 4) (b, z, y, x)
+        vnum = batch["occ_voxel_num_points"]      # (N,)
+        gt_boxes = batch["gt_boxes"]              # (B, G, 8)
+        rot_z = batch.get("rot_z")
+        B = gt_boxes.shape[0]
+        if rot_z is None:
+            rot_z = jnp.zeros((B,), jnp.float32)
+        mirr_flag = batch.get(
+            "box_mirr_flag", jnp.ones(gt_boxes.shape[:2], jnp.float32)
+        )
+
+        N, P, C = voxels.shape
+        slot_mask = jnp.arange(P)[None, :] < vnum[:, None]
+        coord_valid = vcoords[:, 0] >= 0
+        slot_mask = slot_mask & coord_valid[:, None]
+
+        # convert stored occ-coord channels to cartesian (world frame)
+        pts_abs = coords.occ_uvd_to_absxyz(
+            voxels[..., 0], voxels[..., 1], voxels[..., 2], spec.coord_type
+        )
+        occ_pnts = jnp.concatenate([pts_abs, voxels[..., 3:]], axis=-1)
+        vfe_voxels = occ_pnts if self.use_absxyz in (True, "absxyz") else voxels
+        if self.use_absxyz == "both":
+            vfe_voxels = jnp.concatenate([pts_abs, voxels], axis=-1)
+
+        targets = self._make_targets(
+            occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B, train
+        )
+
+        # ---- VFE + dense backbone
+        feat = self.vfe(vfe_voxels, jnp.where(coord_valid, vnum, 0))
+        ncell = nz * ny * nx
+        lin = (vcoords[:, 1] * ny + vcoords[:, 2]) * nx + vcoords[:, 3]
+        idx = jnp.where(coord_valid, vcoords[:, 0] * ncell + lin, B * ncell)
+        dense = jnp.zeros((B * ncell + 1, feat.shape[-1]), feat.dtype).at[idx].set(
+            jnp.where(coord_valid[:, None], feat, 0.0)
+        )[:-1].reshape(B, nz, ny, nx, -1)
+
+        x, mask = self.backbone(dense, targets["voxelwise_mask"], train=train)
+        logits = self.conv_cls(x)
+        if self.is_softmax:
+            prob = jax.nn.softmax(logits, axis=-1)[..., -1]
+        else:
+            prob = jax.nn.sigmoid(logits[..., -1])
+        masked_prob = prob * targets["general_cls_loss_mask"].astype(prob.dtype)
+
+        out = dict(targets)
+        out["probs"] = masked_prob
+        if self.reg:
+            res_pred = self.conv_res(x)  # (B, nz, ny, nx, 3)
+            out["res_pred"] = res_pred
+        else:
+            res_pred = None
+
+        if train:
+            out["loss"] = self._get_loss(logits, res_pred, targets)
+
+        # ---- PassOccVox
+        self._pass_occ_vox(batch, out, masked_prob, res_pred, rot_z, B, train)
+
+        if not self.pass_grad:
+            for k in ("det_voxels", "occ_points"):
+                out[k] = jax.lax.stop_gradient(out[k])
+        return out
+
+    # ------------------------------------------------------------ targets
+
+    def _make_targets(self, occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B, train):
+        spec = self.spec
+        nx, ny, nz = spec.grid_size
+        grid = (nx, ny, nz)
+        centers = jnp.asarray(spec.voxel_centers_xyz)
+
+        voxelwise = T.scatter_mask(vcoords, vcoords[:, 0] >= 0, B, grid)
+        vcc = T.dilate_predict_area(voxelwise, spec.dist_kern, spec.concede_x)
+
+        # flat point list
+        N, P, _ = occ_pnts.shape
+        pts = occ_pnts[..., :3].reshape(N * P, 3)
+        pvalid = slot_mask.reshape(N * P)
+        pb = jnp.repeat(vcoords[:, 0], P)
+        pb = jnp.where(pvalid, pb, 0)
+        pcoords = jnp.repeat(vcoords, P, axis=0)  # (N*P, 4)
+
+        occluded = T.occlusion_mask(spec, pts, pvalid, pb, rot_z, B)
+        occluded = T.z_filter(spec, occluded, voxelwise)
+
+        # fore / mirror, per frame
+        gt7 = gt_boxes[..., :7]
+        gt_valid = gt_boxes[..., 7] > 1e-2
+
+        fore_p, mirr_pts, mirr_val = T.mirror_points_in_boxes_batched(
+            pts, pvalid, pb, gt_boxes, gt_valid, mirr_flag, B
+        )
+
+        fore_mask = T.scatter_mask(pcoords, fore_p, B, grid)
+        fore_res = T.scatter_mean_res(
+            pts, pcoords, fore_p, self._centers_world(rot_z, B), B, grid
+        )
+
+        mirr_occ = T.world_to_occ_coords(mirr_pts, rot_z[pb], spec)
+        mirr_cell, mirr_inr = T.points_to_grid_coords(mirr_occ, spec)
+        mirr_coords = jnp.concatenate(
+            [pb[:, None], mirr_cell[:, ::-1]], axis=1
+        )  # (b, z, y, x)
+        mirr_ok = mirr_val & mirr_inr
+        mirr_mask = T.scatter_mask(mirr_coords, mirr_ok, B, grid)
+        mirr_res = T.scatter_mean_res(
+            mirr_pts, mirr_coords, mirr_ok, self._centers_world(rot_z, B), B, grid
+        )
+        mirr_mask = mirr_mask & ~voxelwise
+        mirr_res = mirr_res * (~voxelwise[..., None])
+
+        # bm points
+        bm_pts = batch.get("bm_points")
+        if bm_pts is not None:
+            bm_mask_in = batch["bm_points_mask"]  # (B, Nbm)
+            Bb, Nbm, _ = bm_pts.shape
+            bmp = bm_pts.reshape(B * Nbm, 3)
+            bmb = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Nbm)
+            bmv = bm_mask_in.reshape(B * Nbm)
+            in_gt = T.points_in_gt_batched(bmp, bmv, bmb, gt_boxes, gt_valid, B)
+            bm_occ = T.world_to_occ_coords(bmp, rot_z[bmb], spec)
+            bm_cell, bm_inr = T.points_to_grid_coords(bm_occ, spec)
+            bm_coords = jnp.concatenate([bmb[:, None], bm_cell[:, ::-1]], axis=1)
+            bm_ok = in_gt & bm_inr
+            bm_mask = T.scatter_mask(bm_coords, bm_ok, B, grid)
+            bm_res = T.scatter_mean_res(
+                bmp, bm_coords, bm_ok, self._centers_world(rot_z, B), B, grid
+            )
+            excl = (~voxelwise) & (~mirr_mask)
+            bm_mask = bm_mask & excl
+            bm_res = bm_res * excl[..., None]
+        else:
+            bm_mask = jnp.zeros_like(voxelwise)
+            bm_res = jnp.zeros(voxelwise.shape + (3,), jnp.float32)
+
+        # forebox label (BOX_WEIGHT != 1)
+        forebox = None
+        if self.box_weight != 1.0:
+            cw = self._centers_world(rot_z, B)  # (B, nz, ny, nx, 3)
+
+            def boxes_of(cw_f, gt_f, gv_f):
+                from ...utils import box_utils
+                m = box_utils.points_in_boxes_mask(cw_f.reshape(-1, 3), gt_f[:, :7])
+                return jnp.any(m & gv_f[None, :], axis=1).reshape(nz, ny, nx)
+
+            forebox = jax.vmap(boxes_of)(cw, gt_boxes, gt_valid)
+
+        # loss maps (reference prepare_cls_loss_map / prepare_reg_loss_map)
+        general_cls = vcc & occluded
+        fore_cls = fore_mask & general_cls
+        mirr_cls = mirr_mask & general_cls
+        bm_cls = bm_mask & general_cls
+        pos = fore_cls | mirr_cls | bm_cls
+        neg = general_cls & ~pos
+        w = self.w
+        cls_f = (
+            fore_cls * w["occ_fore_cls_weight"]
+            + mirr_cls * w["occ_mirr_cls_weight"]
+            + bm_cls * w["occ_bm_cls_weight"]
+            + neg * w["occ_neg_cls_weight"]
+        ).astype(jnp.float32)
+        if forebox is not None:
+            cls_f = cls_f + (neg & forebox) * (self.box_weight - w["occ_neg_cls_weight"])
+
+        reg_f = (
+            fore_cls * w.get("occ_fore_res_weight", 0.1)
+            + mirr_cls * w.get("occ_mirr_res_weight", 0.1)
+            + bm_cls * w.get("occ_bm_res_weight", 0.1)
+        ).astype(jnp.float32)
+        reg_m = reg_f > 0
+        res_mtrx = (fore_res + mirr_res + bm_res) * reg_m[..., None]
+
+        return {
+            "voxelwise_mask": voxelwise,
+            "vcc_mask": vcc,
+            "occ_voxelwise_mask": occluded,
+            "fore_voxelwise_mask": fore_mask,
+            "mirr_voxelwise_mask": mirr_mask,
+            "bm_voxelwise_mask": bm_mask,
+            "pos_mask": pos,
+            "neg_mask": neg,
+            "general_cls_loss_mask": general_cls,
+            "general_cls_loss_mask_float": cls_f,
+            "general_reg_loss_mask": reg_m,
+            "general_reg_loss_mask_float": reg_f,
+            "res_mtrx": res_mtrx,
+        }
+
+    def _centers_world(self, rot_z, B):
+        """Occ voxel centers in the (rotated) world frame per batch elem
+        (reference `get_voxel_center_xyz` with rot=True)."""
+        spec = self.spec
+        c = jnp.asarray(spec.voxel_centers_xyz)  # sensor frame (nz, ny, nx, 3)
+        if spec.coord_type == "cartesian":
+            flat = c.reshape(1, -1, 3)
+            rot = jnp.broadcast_to(flat, (B,) + flat.shape[1:])
+            from ...utils import common
+            return common.rotate_points_along_z(rot, rot_z * (np.pi / 180.0)).reshape(
+                (B,) + c.shape
+            )
+        # cylinder/sphere: azimuth shift on the uvd center then convert;
+        # equivalently rotate the cartesian center by +rot_z
+        from ...utils import common
+        flat = jnp.broadcast_to(c.reshape(1, -1, 3), (B, c.size // 3, 3))
+        return common.rotate_points_along_z(flat, rot_z * (np.pi / 180.0)).reshape(
+            (B,) + c.shape
+        )
+
+    # ------------------------------------------------------------- loss
+
+    def _get_loss(self, logits, res_pred, targets):
+        mask = targets["general_cls_loss_mask"]
+        wf = targets["general_cls_loss_mask_float"]
+        pos = targets["pos_mask"].astype(logits.dtype)
+        if self.is_softmax:
+            onehot = jnp.stack([1.0 - pos, pos], axis=-1)
+            el = loss_utils.softmax_focal_loss(logits, onehot, alpha=1.0, gamma=2.0)
+        else:
+            el = loss_utils.sigmoid_focal_loss(
+                logits[..., -1], pos, alpha=self.w.get("cls_alpha", 0.25)
+            )
+        el = el * wf * mask
+        cls_loss = el.sum() / jnp.clip((wf * mask).sum(), 1.0, None)
+        cls_loss = cls_loss * self.w.get("occ_fore_cls_weight", 1.0)
+        loss = cls_loss
+        if self.reg and res_pred is not None:
+            rm = targets["general_reg_loss_mask"]
+            rf = targets["general_reg_loss_mask_float"]
+            diff = res_pred - targets["res_mtrx"]
+            rl = loss_utils.smooth_l1_loss(diff, beta=self.w.get("res_beta", 0.025))
+            rl = (rl.sum(-1) * rf * rm).sum() / jnp.clip((rf * rm).sum(), 1.0, None)
+            loss = loss + rl * self.w.get("occ_fore_res_weight", 0.1)
+        return loss
+
+    # ------------------------------------------------------- PassOccVox
+
+    def _pass_occ_vox(self, batch, out, masked_prob, res_pred, rot_z, B, train):
+        spec = self.spec
+        nx, ny, nz = spec.grid_size
+        K = self.max_occ_pnts if train else self.eval_max_occ_pnts
+        use_gate = batch.get("use_occ_prob", jnp.ones((B,), bool))
+
+        flat = masked_prob.reshape(B, -1)
+        sel = jnp.where(flat > self.occ_thresh, flat, 0.0)  # train thresh always
+        top_prob, top_idx = jax.lax.top_k(sel, min(K, flat.shape[1]))
+        valid = (top_prob > 0) & use_gate[:, None]
+
+        zc = top_idx // (ny * nx)
+        yc = (top_idx - zc * (ny * nx)) // nx
+        xc = top_idx - zc * (ny * nx) - yc * nx
+        pcr = spec.point_cloud_range
+        vs = spec.voxel_size
+        cu = pcr[0] + (xc.astype(jnp.float32) + 0.5) * vs[0]
+        cv = pcr[1] + (yc.astype(jnp.float32) + 0.5) * vs[1]
+        cd = pcr[2] + (zc.astype(jnp.float32) + 0.5) * vs[2]
+        if spec.coord_type == "cartesian":
+            from ...utils import common
+            xyz = jnp.stack([cu, cv, cd], -1)
+            xyz = common.rotate_points_along_z(xyz, rot_z * (np.pi / 180.0))
+        else:
+            cv = cv - rot_z[:, None]  # sensor -> world azimuth
+            xyz = coords.occ_uvd_to_absxyz(cu, cv, cd, spec.coord_type)  # (B, K, 3)
+        if self.reg and res_pred is not None:
+            res_flat = res_pred.reshape(B, -1, self.res_num_dim)
+            res_sel = jnp.take_along_axis(res_flat, top_idx[..., None], axis=1)
+            xyz = xyz + res_sel[..., :3]
+
+        occ_points = jnp.concatenate([xyz, top_prob[..., None]], axis=-1)  # (B, K, 4)
+        occ_points = jnp.where(valid[..., None], occ_points, 0.0)
+        out["occ_points"] = occ_points
+        out["occ_points_mask"] = valid
+
+        # merge with the det voxel point set, re-voxelize at static capacity
+        det_voxels = batch["det_voxels"]          # (Nd, Pd, Cd)
+        det_coords = batch["det_voxel_coords"]
+        det_num = batch["det_voxel_num_points"]
+        Nd, Pd, Cd = det_voxels.shape
+        per_frame_vox = Nd // B
+
+        det_slot = (jnp.arange(Pd)[None, :] < det_num[:, None]) & (det_coords[:, :1] >= 0)
+        det_pts = det_voxels.reshape(B, per_frame_vox * Pd, Cd)
+        det_ok = det_slot.reshape(B, per_frame_vox * Pd)
+        zeros = jnp.zeros(det_pts.shape[:-1] + (self.code_num_dim,), det_pts.dtype)
+        det_pts6 = jnp.concatenate([det_pts, zeros], axis=-1)
+
+        inten = jnp.full(occ_points.shape[:-1] + (1,), self.default_inten, jnp.float32)
+        pad_feats = [inten]
+        if Cd > 4:
+            pad_feats.append(jnp.zeros_like(inten))
+        occ_feats = [xyz, *pad_feats, top_prob[..., None]]
+        if self.code_num_dim > 1:
+            occ_feats.append(jnp.ones_like(top_prob[..., None]))
+        occ_pts6 = jnp.concatenate(occ_feats, axis=-1)
+        occ_pts6 = jnp.where(valid[..., None], occ_pts6, 0.0)
+
+        all_pts = jnp.concatenate([det_pts6, occ_pts6], axis=1)
+        all_ok = jnp.concatenate([det_ok, valid], axis=1)
+
+        merged_cap = per_frame_vox + (K // 4)
+        res = jax.vmap(
+            lambda p, v: voxelizer.voxelize(
+                p, v,
+                point_cloud_range=tuple(self.point_cloud_range),
+                voxel_size=tuple(self.det_voxel_size),
+                max_points=self.det_max_points_merged,
+                max_voxels=merged_cap,
+            )
+        )(all_pts, all_ok)
+
+        # flatten back with batch-prefixed coords; per-frame blocks stay
+        # key-sorted so the global table is sorted too
+        bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32)[:, None], merged_cap, axis=1)
+        bcol = jnp.where(res.coords[:, :, :1] >= 0, bidx[..., None], -1)
+        coords4 = jnp.concatenate([bcol, res.coords], axis=-1).reshape(B * merged_cap, 4)
+        out["det_voxels"] = res.voxels.reshape(B * merged_cap, self.det_max_points_merged, -1)
+        out["det_voxel_coords"] = coords4
+        out["det_voxel_num_points"] = res.num_points.reshape(B * merged_cap)

@@ -1,0 +1,115 @@
+"""Evaluation loop + occ metrics (reference `tools/eval_utils/eval_utils.py`
+and `detector3d_template.py:479-591`)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.detectors.btcnet import post_processing
+from ..ops import iou3d
+
+
+def occ_match_stats(probs, targets, thresholds=(0.3, 0.5, 0.7)):
+    """Voxel occupancy precision/recall/F1 at thresholds (reference
+    `occ_post_processing:479` + `eval_utils.get_match_stats:23`)."""
+    pos = np.asarray(targets["pos_mask"], bool)
+    mask = np.asarray(targets["general_cls_loss_mask"], bool)
+    p = np.asarray(probs)
+    out = {}
+    for t in thresholds:
+        pred = (p > t) & mask
+        tp = (pred & pos).sum()
+        prec = tp / max(pred.sum(), 1)
+        rec = tp / max((pos & mask).sum(), 1)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+        out[f"occ_precision@{t}"] = float(prec)
+        out[f"occ_recall@{t}"] = float(rec)
+        out[f"occ_f1@{t}"] = float(f1)
+    return out
+
+
+def recall_record(pred_boxes, pred_valid, rois, roi_valid, gt_boxes, thresh_list):
+    """roi/rcnn recall vs gt at IoU thresholds (reference
+    `generate_recall_record:548`). All numpy, per frame."""
+    out = {f"roi_{t}": 0 for t in thresh_list}
+    out.update({f"rcnn_{t}": 0 for t in thresh_list})
+    gt7 = gt_boxes[:, :7][gt_boxes[:, 7] > 0]
+    out["gt"] = len(gt7)
+    if len(gt7) == 0:
+        return out
+    if roi_valid.any():
+        iou_roi = np.asarray(iou3d.boxes_iou3d(gt7, rois[roi_valid]))
+        best = iou_roi.max(axis=1) if iou_roi.shape[1] else np.zeros(len(gt7))
+        for t in thresh_list:
+            out[f"roi_{t}"] = int((best > t).sum())
+    if pred_valid.any():
+        iou_rcnn = np.asarray(iou3d.boxes_iou3d(gt7, pred_boxes[pred_valid]))
+        best = iou_rcnn.max(axis=1) if iou_rcnn.shape[1] else np.zeros(len(gt7))
+        for t in thresh_list:
+            out[f"rcnn_{t}"] = int((best > t).sum())
+    return out
+
+
+def eval_one_epoch(
+    net, variables, dataloader, dataset, post_cfg, class_names,
+    logger=None, result_dir=None, recall_thresh_list=(0.3, 0.5, 0.7),
+):
+    """reference `eval_one_epoch:41`. dataloader yields collated batches."""
+    det_annos = []
+    recall_dict = {}
+    n_frames = 0
+    t_start = time.time()
+
+    @jax.jit
+    def infer(variables, batch):
+        out = net.apply(variables, batch, train=False)
+        post = post_processing(out, post_cfg, len(class_names))
+        post["rois"] = out.get("rois")
+        post["roi_valid"] = out.get("roi_valid")
+        return post
+
+    for batch in dataloader:
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
+        jbatch_all = dict(jbatch)
+        post = jax.device_get(infer(variables, jbatch_all))
+        B = post["pred_boxes"].shape[0]
+        n_frames += B
+        pred_dicts = [
+            {k: post[k][b] for k in ("pred_boxes", "pred_scores", "pred_labels", "pred_valid")}
+            for b in range(B)
+        ]
+        batch_for_annos = {"frame_id": batch["frame_id"]}
+        det_annos += dataset.generate_prediction_dicts(
+            batch_for_annos, pred_dicts, class_names,
+            output_path=result_dir,
+        )
+        if "gt_boxes" in batch:
+            for b in range(B):
+                rec = recall_record(
+                    post["pred_boxes"][b], post["pred_valid"][b],
+                    np.asarray(post["rois"][b]) if post["rois"] is not None else np.zeros((0, 7)),
+                    np.asarray(post["roi_valid"][b]) if post["roi_valid"] is not None else np.zeros(0, bool),
+                    np.asarray(batch["gt_boxes"][b]), recall_thresh_list,
+                )
+                for k, v in rec.items():
+                    recall_dict[k] = recall_dict.get(k, 0) + v
+
+    sec_per_example = (time.time() - t_start) / max(n_frames, 1)
+    if logger:
+        logger.info(f"eval: {n_frames} frames, {sec_per_example:.4f} s/frame")
+        gt_cnt = max(recall_dict.get("gt", 1), 1)
+        for t in recall_thresh_list:
+            logger.info(
+                f"recall_roi_{t}: {recall_dict.get(f'roi_{t}', 0) / gt_cnt:.4f}  "
+                f"recall_rcnn_{t}: {recall_dict.get(f'rcnn_{t}', 0) / gt_cnt:.4f}"
+            )
+    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    result_dict["sec_per_example"] = sec_per_example
+    result_dict["frames_per_sec"] = 1.0 / max(sec_per_example, 1e-9)
+    if logger:
+        logger.info("\n" + result_str)
+    return result_str, result_dict, det_annos

@@ -1,0 +1,92 @@
+"""End-to-end model tests on a scaled-down config (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btcdet_tpu.config import EasyDict
+from btcdet_tpu.datasets import make_synthetic_batch
+from btcdet_tpu.models import build_network
+from btcdet_tpu.models.detectors.btcnet import post_processing
+from btcdet_tpu.datasets.mini_config import mini_data_cfg, mini_model_cfg
+
+
+def to_jnp(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.fixture(scope="module")
+def det_setup():
+    data_cfg = mini_data_cfg(with_occ=False)
+    model_cfg = mini_model_cfg(with_occ=False)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = to_jnp(make_synthetic_batch(data_cfg, batch_size=2, num_points=4096, num_gt=4))
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=True)
+    return net, batch, variables, model_cfg
+
+
+def test_det_train_forward(det_setup):
+    net, batch, variables, _ = det_setup
+    out, _ = net.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    loss = float(out["loss"])
+    assert np.isfinite(loss) and loss > 0
+    for k in ("rpn_loss", "rcnn_loss"):
+        assert k in out["loss_dict"], out["loss_dict"].keys()
+        assert np.isfinite(float(out["loss_dict"][k]))
+
+
+def test_det_grads_flow(det_setup):
+    net, batch, variables, _ = det_setup
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = net.apply(
+            {"params": p, **other}, batch, train=True,
+            rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        return out["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    gnorms = [float(jnp.abs(g).max()) for g in flat]
+    assert all(np.isfinite(g) for g in gnorms)
+    assert sum(g > 0 for g in gnorms) > len(gnorms) * 0.5, "most params should get grads"
+
+
+def test_det_eval_and_postprocess(det_setup):
+    net, batch, variables, model_cfg = det_setup
+    out = net.apply(variables, batch, train=False)
+    assert "batch_box_preds" in out
+    post = post_processing(out, model_cfg.POST_PROCESSING, 1)
+    assert post["pred_boxes"].shape[0] == 2
+    assert np.isfinite(np.asarray(post["pred_scores"])).all()
+
+
+def test_occ_full_model():
+    data_cfg = mini_data_cfg(with_occ=True)
+    model_cfg = mini_model_cfg(with_occ=True)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = to_jnp(make_synthetic_batch(data_cfg, batch_size=2, num_points=4096, num_gt=4))
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=True)
+    out, _ = net.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert "occ_loss" in out["loss_dict"]
+    assert np.isfinite(float(out["loss_dict"]["occ_loss"]))
+    # eval path
+    out_e = net.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out_e["batch_box_preds"])).all()

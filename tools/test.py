@@ -1,0 +1,121 @@
+"""Evaluation CLI (reference `tools/test.py`).
+
+Single-checkpoint eval or `--eval_all` polling over a checkpoint dir,
+tracking the per-class best-mAP incumbents (reference
+`repeat_eval_ckpt:84`, `update_3d_map:141`).
+"""
+
+import argparse
+import datetime
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from btcdet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+from btcdet_tpu.models import build_network
+from btcdet_tpu.train import checkpoint as ckpt_mod
+from btcdet_tpu.train import eval_utils, trainer as trainer_mod
+from btcdet_tpu.utils.common import create_logger
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true")
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def build_eval(args, cfg, logger):
+    from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    import torch.utils.data as tud
+
+    dataset = KittiDataset(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
+        root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
+    )
+    dl = tud.DataLoader(
+        dataset, batch_size=args.batch_size, shuffle=False,
+        num_workers=args.workers, collate_fn=dataset.collate_batch,
+    )
+    net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
+    return net, dl, dataset
+
+
+def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return eval_utils.eval_one_epoch(
+        net, variables, dl, dataset, cfg.MODEL.POST_PROCESSING, cfg.CLASS_NAMES,
+        logger=logger,
+        result_dir=result_dir if args.save_to_file else None,
+        recall_thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+    )
+
+
+def main():
+    args, _ = parse_config()
+    output_dir = Path("output") / cfg.TAG / args.extra_tag / "eval"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(output_dir / ("eval_%s.log" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")))
+    ckpt_dir = Path(args.ckpt_dir or (Path("output") / cfg.TAG / args.extra_tag / "ckpt"))
+
+    net, dl, dataset = build_eval(args, cfg, logger)
+    example = next(iter(dl))
+    example = {k: jnp.asarray(v) for k, v in example.items() if k != "frame_id"}
+    state, _ = trainer_mod.create_train_state(
+        net, example, jax.random.PRNGKey(0),
+        det_opt_cfg=cfg.OPTIMIZATION,
+        occ_opt_cfg=cfg.get("OCC_OPTIMIZATION", None),
+        total_steps=1,
+    )
+
+    mgr = ckpt_mod.CheckpointManager(ckpt_dir)
+    evaluated = set()
+    best = {}
+    wait_start = time.time()
+    while True:
+        step = mgr.latest_step()
+        todo = (
+            [s for s in (mgr.mgr.all_steps() if args.eval_all else [step])
+             if s is not None and s not in evaluated]
+        )
+        if not todo:
+            if not args.eval_all or time.time() - wait_start > args.max_waiting_mins * 60:
+                break
+            time.sleep(30)
+            continue
+        for s in sorted(todo):
+            restored, _ = mgr.restore(state, s)
+            logger.info(f"evaluating checkpoint step {s}")
+            result_str, result_dict, _ = eval_ckpt(
+                net, dl, dataset, restored, args, output_dir, logger
+            )
+            for k, v in result_dict.items():
+                if k.endswith("_R40") and v > best.get(k, -1):
+                    best[k] = v
+                    logger.info(f"new best {k}: {v:.4f} (step {s})")
+            evaluated.add(s)
+            wait_start = time.time()
+        if not args.eval_all:
+            break
+    logger.info(f"best results: {best}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Training CLI (reference `tools/train.py`).
+
+Examples:
+  python tools/train.py --cfg_file tools/cfgs/model_configs/btcdet_kitti_car.yaml
+  python tools/train.py --cfg_file ... --synthetic --epochs 1 --steps 5   # smoke
+  python tools/train.py --cfg_file ... --pre_occ ckpts/occ_run            # staged
+
+Auto-resumes from the newest checkpoint in the output dir (reference
+`train.py:157-163`); dual optimizers (det + occ) with OneCycle; orbax
+checkpoints with rotation.
+"""
+
+import argparse
+import datetime
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from btcdet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
+from btcdet_tpu.models import build_network
+from btcdet_tpu.train import checkpoint as ckpt_mod
+from btcdet_tpu.train import trainer as trainer_mod
+from btcdet_tpu.utils.common import create_logger
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--pre_occ", type=str, default=None,
+                        help="load occ params only from this ckpt dir")
+    parser.add_argument("--pre_det", type=str, default=None,
+                        help="load det params only from this ckpt dir")
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (no KITTI needed)")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="cap steps per epoch (smoke tests)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def make_dataloader(args, cfg, logger):
+    if args.synthetic:
+        from btcdet_tpu.datasets import make_synthetic_batch
+
+        bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+        steps = args.steps or 10
+
+        def loader(epoch):
+            for i in range(steps):
+                yield make_synthetic_batch(
+                    cfg.DATA_CONFIG, batch_size=bs, num_points=16384,
+                    num_gt=10, seed=epoch * 10000 + i,
+                )
+
+        return loader, steps, None
+
+    from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+
+    dataset = KittiDataset(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
+        root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
+    )
+    bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+    import torch.utils.data as tud
+
+    dl = tud.DataLoader(
+        dataset, batch_size=bs, shuffle=True, num_workers=args.workers,
+        collate_fn=dataset.collate_batch, drop_last=True,
+    )
+    steps = args.steps or len(dl)
+
+    def loader(epoch):
+        dataset._epoch = epoch
+        for i, b in enumerate(dl):
+            if i >= steps:
+                break
+            yield b
+
+    return loader, steps, dataset
+
+
+def main():
+    args, _ = parse_config()
+    output_dir = Path("output") / cfg.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(output_dir / ("train_%s.log" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")))
+    log_config_to_file(cfg, logger=logger)
+
+    epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+    loader, steps_per_epoch, _ = make_dataloader(args, cfg, logger)
+    total_steps = epochs * steps_per_epoch
+
+    net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
+    example = next(iter(loader(0)))
+    example = {k: jnp.asarray(v) for k, v in example.items() if k != "frame_id"}
+    state, tx = trainer_mod.create_train_state(
+        net, example, jax.random.PRNGKey(args.seed),
+        det_opt_cfg=cfg.OPTIMIZATION,
+        occ_opt_cfg=cfg.get("OCC_OPTIMIZATION", None),
+        total_steps=total_steps,
+    )
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"model parameters: {n_params/1e6:.2f}M, total steps: {total_steps}")
+
+    mgr = ckpt_mod.CheckpointManager(ckpt_dir, max_to_keep=args.max_ckpt_save_num)
+    start_epoch = 0
+    if args.pre_occ:
+        state, n = ckpt_mod.load_partial(args.pre_occ, state, want_occ=True)
+        logger.info(f"loaded {n} occ params from {args.pre_occ}")
+    if args.pre_det:
+        state, n = ckpt_mod.load_partial(args.pre_det, state, want_occ=False)
+        logger.info(f"loaded {n} det params from {args.pre_det}")
+    restored, step = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        start_epoch = step // steps_per_epoch
+        logger.info(f"auto-resumed from step {step} (epoch {start_epoch})")
+
+    step_fn = jax.jit(trainer_mod.make_train_step(net, tx))
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        for i, batch in enumerate(loader(epoch)):
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
+            state, metrics = step_fn(state, jb, rng)
+            if i % 10 == 0 or args.steps:
+                m = jax.device_get(metrics)
+                msg = "  ".join(f"{k}={float(v):.4f}" for k, v in sorted(m.items()))
+                logger.info(f"epoch {epoch} it {i}/{steps_per_epoch}  {msg}")
+        if (epoch + 1) % args.ckpt_save_interval == 0 or epoch == epochs - 1:
+            mgr.save(int(state.step), state)
+            logger.info(f"saved checkpoint at step {int(state.step)}")
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
