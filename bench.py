@@ -44,14 +44,18 @@ def main(batch_size: int = 1, iters: int = 20, mode: str = "test"):
         out = net.apply(variables, batch, train=False)
         return post_processing(out, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
 
+    def sync(res):
+        # device_get forces real completion; block_until_ready returns
+        # early under the tunneled-TPU transport
+        return float(jax.device_get(res["pred_scores"]).sum())
+
     # compile + warmup
-    res = infer(variables, batch)
-    jax.block_until_ready(res)
+    sync(infer(variables, batch))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         res = infer(variables, batch)
-    jax.block_until_ready(res)
+    sync(res)
     dt = time.perf_counter() - t0
     fps = batch_size * iters / dt
 

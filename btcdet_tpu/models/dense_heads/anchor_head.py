@@ -22,15 +22,17 @@ from ...utils import box_utils, common, loss_utils
 
 def generate_anchors(anchor_range, grid_size, anchor_configs):
     """Dense anchors per class config. grid_size: (nx, ny) of the full det
-    grid; each config uses its feature_map_stride.
+    grid; each config uses its feature_map_stride (all configs must share
+    one stride so the per-location anchors interleave into the conv
+    output layout [y, x, class, size, rot]).
 
-    Returns (anchors (A_total, 7) float32 numpy, per-class anchor counts,
-    per-location count). Anchor ordering per class: [y, x, size, rot]
-    (z collapsed; matches the reference permute at
-    `anchor_generator.py:56` for the single-z-anchor configs used here).
+    Returns (anchors (A_total, 7) float32, anchor_class (A_total,) int32
+    0-based class index, per-location count). Matches the reference
+    permute at `anchor_generator.py:56` for single-z-anchor configs.
     """
-    all_anchors = []
-    counts = []
+    per_class_loc = []  # each (gy, gx, S*R*Z, 7)
+    strides = {cfg["feature_map_stride"] for cfg in anchor_configs}
+    assert len(strides) == 1, "mixed feature_map_stride unsupported"
     num_per_loc = 0
     for cfg in anchor_configs:
         stride = cfg["feature_map_stride"]
@@ -50,7 +52,7 @@ def generate_anchors(anchor_range, grid_size, anchor_configs):
         xs = anchor_range[0] + x_off + x_stride * np.arange(gx, dtype=np.float32)
         ys = anchor_range[1] + y_off + y_stride * np.arange(gy, dtype=np.float32)
 
-        # layout [z, y, x, size, rot, 7]
+        # layout [z, y, x, size, rot, 7] -> per-location [y, x, Z*S*R, 7]
         Z, S, R = len(heights), len(sizes), len(rots)
         a = np.zeros((Z, gy, gx, S, R, 7), np.float32)
         a[..., 0] = xs[None, None, :, None, None]
@@ -59,24 +61,31 @@ def generate_anchors(anchor_range, grid_size, anchor_configs):
         a[..., 3:6] = sizes[None, None, None, :, None, :]
         a[..., 6] = rots[None, None, None, None, :]
         a[..., 2] += a[..., 5] / 2  # bottom -> center z
-        all_anchors.append(a.reshape(-1, 7))
-        counts.append(a.size // 7)
+        per_class_loc.append(a.transpose(1, 2, 0, 3, 4, 5).reshape(gy, gx, -1, 7))
         num_per_loc += S * R * Z
-    return np.concatenate(all_anchors, axis=0), counts, num_per_loc
+    # interleave classes per location: [y, x, class*(S*R*Z)]
+    stacked = np.concatenate(per_class_loc, axis=2)  # (gy, gx, n_per_loc, 7)
+    anchor_class = np.concatenate([
+        np.full((arr.shape[2],), ci, np.int32)
+        for ci, arr in enumerate(per_class_loc)
+    ])
+    gy, gx = stacked.shape[:2]
+    anchor_class = np.tile(anchor_class[None, None], (gy, gx, 1)).reshape(-1)
+    return stacked.reshape(-1, 7), anchor_class, num_per_loc
 
 
 def assign_targets_single_class(
-    anchors, gt_boxes, gt_valid, gt_class_id,
+    anchors, anchor_sel, gt_boxes, gt_valid, gt_class_id,
     matched_threshold: float, unmatched_threshold: float,
     box_coder, match_height: bool,
 ):
     """Vectorized AxisAlignedTargetAssigner.assign_targets_single
-    (reference `axis_aligned_target_assigner.py:131-213`) for the anchors
-    and gts of ONE class.
+    (reference `axis_aligned_target_assigner.py:131-213`) for ONE class.
 
-    anchors: (A, 7); gt_boxes: (G, 7); gt_valid: (G,) bool.
-    Returns (labels (A,) int32 in {-1, 0, class_id}, reg_targets
-    (A, code), reg_mask (A,) bool).
+    anchors: (A, 7) full anchor set; anchor_sel: (A,) bool marks this
+    class's anchors; gt_boxes: (G, 7); gt_valid: (G,) bool.
+    Returns (labels (A,) int32 in {-1, 0, class_id} valid only where
+    anchor_sel, reg_targets (A, code), reg_mask (A,) bool).
     """
     from ...ops import iou3d
 
@@ -84,7 +93,7 @@ def assign_targets_single_class(
         iou = iou3d.boxes_iou3d(anchors, gt_boxes)
     else:
         iou = box_utils.boxes3d_nearest_bev_iou(anchors, gt_boxes)
-    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou = jnp.where(gt_valid[None, :] & anchor_sel[:, None], iou, -1.0)
 
     a2g_max = iou.max(axis=1)
     a2g_arg = iou.argmax(axis=1)
@@ -95,7 +104,8 @@ def assign_targets_single_class(
 
     labels = jnp.full(anchors.shape[:1], -1, jnp.int32)
     labels = jnp.where(a2g_max < unmatched_threshold, 0, labels)
-    pos = a2g_max >= matched_threshold
+    pos = (a2g_max >= matched_threshold) & anchor_sel
+    force = force & anchor_sel
     labels = jnp.where(pos | force, gt_class_id, labels)
 
     reg_mask = pos | force
@@ -114,7 +124,7 @@ class AnchorHeadSingle(nn.Module):
 
     num_class: int
     anchors: Any                     # (A, 7) np array
-    anchors_per_class: Sequence[int]
+    anchor_class: Any                # (A,) int32 np array, 0-based class
     num_anchors_per_location: int
     box_coder_name: str = "ResidualCoder"
     use_direction_classifier: bool = True
@@ -181,29 +191,29 @@ class AnchorHeadSingle(nn.Module):
         return boxes
 
     def _assign(self, anchors, gt_boxes):
-        """Per-class target assignment, vmapped over the batch."""
-        splits = np.cumsum([0] + list(self.anchors_per_class))
+        """Per-class target assignment (class-masked over the interleaved
+        anchor layout), vmapped over the batch."""
+        anchor_class = jnp.asarray(self.anchor_class)
 
         def per_sample(gt):
             gt_box7 = gt[:, :7]
             gt_cls = gt[:, 7].astype(jnp.int32)
             gt_valid_all = gt_cls > 0
-            labels_parts, regs_parts, regm_parts = [], [], []
+            labels = jnp.full(anchors.shape[:1], -1, jnp.int32)
+            reg_targets = jnp.zeros(anchors.shape[:1] + (self.box_coder.code_size,))
+            reg_mask = jnp.zeros(anchors.shape[:1], bool)
             for ci in range(self.num_class):
-                a = anchors[splits[ci]: splits[ci + 1]]
+                sel = anchor_class == ci
                 gv = gt_valid_all & (gt_cls == ci + 1)
                 lab, regt, regm = assign_targets_single_class(
-                    a, gt_box7, gv, ci + 1,
+                    anchors, sel, gt_box7, gv, ci + 1,
                     float(self.matched_thresholds[ci]),
                     float(self.unmatched_thresholds[ci]),
                     self.box_coder, self.match_height,
                 )
-                labels_parts.append(lab)
-                regs_parts.append(regt)
-                regm_parts.append(regm)
-            labels = jnp.concatenate(labels_parts)
-            reg_targets = jnp.concatenate(regs_parts)
-            reg_mask = jnp.concatenate(regm_parts)
+                labels = jnp.where(sel, lab, labels)
+                reg_targets = jnp.where(sel[:, None], regt, reg_targets)
+                reg_mask = jnp.where(sel, regm, reg_mask)
             return labels, reg_targets, reg_mask
 
         labels, reg_targets, reg_mask = jax.vmap(per_sample)(gt_boxes)

@@ -92,13 +92,13 @@ class BtcNet(nn.Module):
         )
 
         dh = mc.DENSE_HEAD
-        anchors, per_class, per_loc = anchor_head_mod.generate_anchors(
+        anchors, anchor_class, per_loc = anchor_head_mod.generate_anchors(
             self.point_cloud_range, self.det_grid_size, dh.ANCHOR_GENERATOR_CONFIG
         )
         self.dense_head = anchor_head_mod.AnchorHeadSingle(
             num_class=len(self.class_names),
             anchors=anchors,
-            anchors_per_class=tuple(per_class),
+            anchor_class=anchor_class,
             num_anchors_per_location=per_loc,
             use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
             dir_offset=dh.get("DIR_OFFSET", 0.78539),

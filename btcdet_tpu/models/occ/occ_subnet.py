@@ -321,7 +321,14 @@ class OccSubnet(nn.Module):
 
         flat = masked_prob.reshape(B, -1)
         sel = jnp.where(flat > self.occ_thresh, flat, 0.0)  # train thresh always
-        top_prob, top_idx = jax.lax.top_k(sel, min(K, flat.shape[1]))
+        K = min(K, flat.shape[1])
+        if K > 4096:
+            # full sort beats lax.top_k for large k on TPU
+            order = jnp.argsort(-sel, axis=1)[:, :K]
+            top_prob = jnp.take_along_axis(sel, order, axis=1)
+            top_idx = order
+        else:
+            top_prob, top_idx = jax.lax.top_k(sel, K)
         valid = (top_prob > 0) & use_gate[:, None]
 
         zc = top_idx // (ny * nx)

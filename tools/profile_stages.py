@@ -1,0 +1,144 @@
+"""Stage-by-stage latency profile of the flagship model on the current
+device. Each stage is jitted separately and timed with forced
+device_get syncs (block_until_ready is unreliable over the tunneled
+transport)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from btcdet_tpu.config import cfg_from_yaml_file
+from btcdet_tpu.datasets import make_synthetic_batch
+from btcdet_tpu.models import build_network
+from btcdet_tpu.models.detectors.btcnet import post_processing
+from btcdet_tpu.ops import sparse
+from btcdet_tpu.models import vfe as vfe_mod
+
+
+def timeit(name, fn, *args, iters=5):
+    out = fn(*args)
+    _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])  # compile+sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:30s} {dt*1000:9.1f} ms", flush=True)
+    return out
+
+
+def main(mode="test"):
+    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
+    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
+        cfg.DATA_CONFIG, 1, 16384, 10, mode=mode).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda r, b: net.init(r, b, train=False))(rngs, batch)
+    print("params ready", flush=True)
+
+    # full model
+    @jax.jit
+    def full(v, b):
+        out = net.apply(v, b, train=False)
+        return post_processing(out, cfg.MODEL.POST_PROCESSING, 1)["pred_scores"]
+
+    timeit("FULL eval forward", full, variables, batch, iters=3)
+
+    # occ subnet alone
+    @jax.jit
+    def occ_only(v, b):
+        out = net.apply(v, b, train=False, method=lambda m, bb, train: m.occ(bb, train=train))
+        return out["det_voxels"]
+
+    timeit("occ subnet (+merge)", occ_only, variables, batch, iters=3)
+
+    # det path from merged voxels: emulate with raw det voxels (no occ)
+    nz, ny, nx = net.det_grid_size[2], net.det_grid_size[1], net.det_grid_size[0]
+
+    @jax.jit
+    def det_backbone(v, b):
+        def run(m, b, train):
+            vfeat, occ_code = m.det_vfe(b["det_voxels"], b["det_voxel_num_points"])
+            st = sparse.from_coords(
+                vfeat, b["det_voxel_coords"], (nz, ny, nx), 1
+            )
+            return m.backbone_3d(st, occ_code, train=train)["encoded"].features
+        return net.apply(v, b, train=False, method=run)
+
+    # det voxels lack the occ code channels; pad them for the probe
+    b2 = dict(batch)
+    pad = jnp.zeros(batch["det_voxels"].shape[:-1] + (2,), jnp.float32)
+    b2["det_voxels"] = jnp.concatenate([batch["det_voxels"], pad], axis=-1)
+    timeit("det 3D backbone (raw vox)", det_backbone, variables, b2, iters=3)
+
+    @jax.jit
+    def rulebook_only(b):
+        vfeat = b["det_voxels"].sum(1)
+        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
+        idx, found = sparse.subm_rulebook(st, 3)
+        return idx.sum() + found.sum()
+
+    timeit("one subm rulebook (searchsorted)", rulebook_only, b2, iters=5)
+
+    @jax.jit
+    def conv_sites(b):
+        vfeat = b["det_voxels"].sum(1)
+        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
+        keys, coords, nnz, shape = sparse.conv_output_sites(st, 3, 2, 1, st.capacity)
+        return keys.sum()
+
+    timeit("one strided conv site-gen", conv_sites, b2, iters=5)
+
+    # rotated NMS at proposal scale
+    from btcdet_tpu.ops import iou3d as iou_mod
+
+    A = 70400
+    boxes = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (A, 7)).astype(np.float32))
+    boxes = boxes.at[:, 3:6].set(boxes[:, 3:6] * 3 + 1)
+    scores = jnp.asarray(np.random.RandomState(1).rand(A).astype(np.float32))
+    valid = jnp.ones((A,), bool)
+
+    @jax.jit
+    def nms_eval(b, s, v):
+        idx, keep = iou_mod.nms_rotated(b, s, v, thresh=0.7, pre_max_size=1024, post_max_size=100)
+        return idx.sum() + keep.sum()
+
+    timeit("proposal NMS (pre=1024)", nms_eval, boxes, scores, valid, iters=5)
+
+    @jax.jit
+    def nms_train(b, s, v):
+        idx, keep = iou_mod.nms_rotated(b, s, v, thresh=0.8, pre_max_size=9000, post_max_size=256)
+        return idx.sum() + keep.sum()
+
+    timeit("proposal NMS (pre=9000)", nms_train, boxes, scores, valid, iters=3)
+
+    # ConvHead pooling at eval shapes
+    @jax.jit
+    def roi_pool(v, b):
+        def run(m, bb, train):
+            vfeat, occ_code = m.det_vfe(bb["det_voxels"], bb["det_voxel_num_points"])
+            st = sparse.from_coords(vfeat, bb["det_voxel_coords"], (nz, ny, nx), 1)
+            bbout = m.backbone_3d(st, occ_code, train=train)
+            rois = jnp.zeros((1, 100, 7)).at[..., 3:6].set(2.0)
+            rv = jnp.ones((1, 100), bool)
+            return m.roi_head(
+                rois, rv,
+                points_xyz=bb["points"][..., :3], points_feat=bb["points"][..., 3:],
+                points_mask=bb["points_mask"], x_combine=bbout["x_combine"],
+                train=train,
+            )[0]
+        return net.apply(v, b, train=False, method=run)
+
+    timeit("backbone + ConvHead pool", roi_pool, variables, b2, iters=3)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "test")
