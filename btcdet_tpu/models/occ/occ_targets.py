@@ -157,7 +157,10 @@ def scatter_mean_res(points_xyz, coords_bzyx, valid, centers_xyz, batch_size: in
     mean = acc[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
     mean = mean.reshape(batch_size, nz, ny, nx, 3)
     has = (cnt[:-1] > 0).reshape(batch_size, nz, ny, nx)
-    res = mean - centers_xyz[None]
+    # centers may be per-batch (B, nz, ny, nx, 3) or shared (nz, ny, nx, 3)
+    if centers_xyz.ndim == 4:
+        centers_xyz = centers_xyz[None]
+    res = mean - centers_xyz
     return jnp.where(has[..., None], res, 0.0)
 
 

@@ -32,80 +32,78 @@ def _xp(a):
     return jnp if isinstance(a, jnp.ndarray) else np
 
 
+def _ring_forward_fill(verts, valid, xp):
+    """Replace invalid slots with the nearest preceding valid vertex
+    (cyclically). Duplicated vertices keep the polygon geometry identical
+    (zero-length edges), which lets later passes treat every slot as
+    valid with plain rolls -- no gathers. log2-step doubling fills."""
+    P, S, _ = verts.shape
+    v = xp.concatenate([verts, verts], axis=1)      # (P, 2S, 2) ring
+    m = xp.concatenate([valid, valid], axis=1)
+    step = 1
+    while step < 2 * S:
+        v_shift = xp.roll(v, step, axis=1)
+        m_shift = xp.roll(m, step, axis=1)
+        v = xp.where(m[..., None], v, v_shift)
+        m = m | m_shift
+        step *= 2
+    return v[:, S:], m[:, S:]
+
+
 def _pairwise_intersection_area(corners_a, corners_b, xp):
-    """corners_a: (N, 4, 2), corners_b: (M, 4, 2) -> (N, M) area of the
-    intersection polygon of each rectangle pair."""
+    """corners_a: (N, 4, 2), corners_b: (M, 4, 2) -> (N, M) intersection
+    area via vectorized Sutherland-Hodgman clipping.
+
+    A's quad is clipped by B's 4 half-planes with a slot-doubling vertex
+    ring (4 -> 8 -> 16 -> 32 -> 64 slots). After each pass, dropped slots
+    are forward-filled with the preceding surviving vertex, so the ring
+    stays fully populated (duplicates are geometrically inert) and the
+    next pass needs only static `roll`s -- zero per-pair gathers, sorts,
+    or scatters. Everything stays elementwise on the VPU; earlier
+    formulations (24-candidate angle argsort; validity-gather SH)
+    scalarized and ran 30-100x slower on TPU.
+    """
     N, M = corners_a.shape[0], corners_b.shape[0]
-    A = corners_a[:, None]  # (N, 1, 4, 2)
-    B = corners_b[None, :]  # (1, M, 4, 2)
+    P = N * M
+    dt = corners_a.dtype
 
-    def points_in_rect(pts, rect):
-        # pts: (..., K, 2); rect: (..., 4, 2) convex CCW or CW quad
-        # inside test via consistent cross-product sign over the 4 edges
-        r0 = rect
-        r1 = xp.roll(rect, -1, axis=-2)
-        edge = r1 - r0  # (..., 4, 2)
-        top = pts[..., :, None, :] - r0[..., None, :, :]  # (..., K, 4, 2)
-        cross = edge[..., None, :, 0] * top[..., 1] - edge[..., None, :, 1] * top[..., 0]
-        return xp.all(cross >= -1e-8, axis=-1) | xp.all(cross <= 1e-8, axis=-1)
+    b = xp.broadcast_to(corners_b[None], (N, M, 4, 2)).reshape(P, 4, 2)
+    b_next = xp.roll(b, -1, axis=1)
+    # shoelace sign of B gives its winding; inside = -cross * winding >= 0
+    winding = xp.sign(
+        (b_next[..., 0] - b[..., 0]) * (b_next[..., 1] + b[..., 1])
+    ).sum(axis=1, keepdims=True)
+    winding = xp.where(winding == 0, 1.0, xp.sign(winding))  # (P, 1)
 
-    in_ab = points_in_rect(A, B)  # (N, M, 4) corners of A inside B
-    in_ba = points_in_rect(B, A)  # (N, M, 4)
+    verts = xp.broadcast_to(corners_a[:, None], (N, M, 4, 2)).reshape(P, 4, 2)
+    alive = xp.ones((P,), dtype=bool)
 
-    # edge-edge intersections: A edge i (4) x B edge j (4)
-    a0 = A
-    a1 = xp.roll(A, -1, axis=-2)
-    b0 = B
-    b1 = xp.roll(B, -1, axis=-2)
-    # parametric: a0 + t*(a1-a0) == b0 + u*(b1-b0)
-    da = (a1 - a0)[..., :, None, :]  # (N, M, 4, 1, 2)
-    db = (b1 - b0)[..., None, :, :]  # (N, M, 1, 4, 2)
-    w = b0[..., None, :, :] - a0[..., :, None, :]  # (N, M, 4, 4, 2)
-    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
-    t = (w[..., 0] * db[..., 1] - w[..., 1] * db[..., 0]) / xp.where(
-        xp.abs(denom) < 1e-10, 1.0, denom
-    )
-    u = (w[..., 0] * da[..., 1] - w[..., 1] * da[..., 0]) / xp.where(
-        xp.abs(denom) < 1e-10, 1.0, denom
-    )
-    hit = (
-        (xp.abs(denom) >= 1e-10)
-        & (t >= 0.0) & (t <= 1.0)
-        & (u >= 0.0) & (u <= 1.0)
-    )  # (N, M, 4, 4)
-    pint = a0[..., :, None, :] + t[..., None] * da  # (N, M, 4, 4, 2)
+    for e in range(4):
+        e0 = b[:, e]
+        ed = b_next[:, e] - e0
+        d = (
+            ed[:, None, 0] * (verts[..., 1] - e0[:, None, 1])
+            - ed[:, None, 1] * (verts[..., 0] - e0[:, None, 0])
+        ) * (-winding)
+        nxt = xp.roll(verts, -1, axis=1)
+        d_nxt = xp.roll(d, -1, axis=1)
+        in_cur = d >= 0
+        in_nxt = d_nxt >= 0
+        denom = d - d_nxt
+        t = d / xp.where(xp.abs(denom) < 1e-12, 1.0, denom)
+        pint = verts + t[..., None] * (nxt - verts)
 
-    # assemble candidate vertices: 4 + 4 + 16 = 24 slots
-    cand = xp.concatenate(
-        [
-            xp.broadcast_to(A, (N, M, 4, 2)),
-            xp.broadcast_to(B, (N, M, 4, 2)),
-            pint.reshape(N, M, 16, 2),
-        ],
-        axis=2,
-    )  # (N, M, 24, 2)
-    valid = xp.concatenate([in_ab, in_ba, hit.reshape(N, M, 16)], axis=2)
+        S = verts.shape[1]
+        # interleave [kept-vertex, crossing-point] into a 2S ring
+        out = xp.stack([verts, pint], axis=2).reshape(P, 2 * S, 2)
+        oval = xp.stack([in_cur, in_cur != in_nxt], axis=2).reshape(P, 2 * S)
+        alive = alive & xp.any(oval, axis=1)
+        verts, _ = _ring_forward_fill(out, oval & alive[:, None], xp)
 
-    cnt = valid.sum(axis=-1)  # (N, M)
-    has_poly = cnt >= 3
-
-    vf = valid[..., None].astype(cand.dtype)
-    centroid = (cand * vf).sum(axis=2) / xp.maximum(cnt[..., None], 1)
-    rel = cand - centroid[..., None, :]
-    ang = xp.arctan2(rel[..., 1], rel[..., 0])
-    ang = xp.where(valid, ang, 1e9)  # invalid -> end after sort
-    order = xp.argsort(ang, axis=-1)
-    sorted_pts = xp.take_along_axis(cand, order[..., None], axis=2)
-
-    idx = xp.arange(24)
-    nxt = xp.where(idx[None, None, :] + 1 < cnt[..., None], idx[None, None, :] + 1, 0)
-    nxt_pts = xp.take_along_axis(sorted_pts, nxt[..., None], axis=2)
-    contrib = (
-        sorted_pts[..., 0] * nxt_pts[..., 1] - nxt_pts[..., 0] * sorted_pts[..., 1]
-    )
-    contrib = xp.where(idx[None, None, :] < cnt[..., None], contrib, 0.0)
-    area = 0.5 * xp.abs(contrib.sum(axis=-1))
-    return xp.where(has_poly, area, 0.0)
+    nxt = xp.roll(verts, -1, axis=1)
+    contrib = verts[..., 0] * nxt[..., 1] - nxt[..., 0] * verts[..., 1]
+    area = 0.5 * xp.abs(contrib.sum(axis=1))
+    return xp.where(alive, area, 0.0).reshape(N, M)
 
 
 def boxes_overlap_bev(boxes_a, boxes_b):
@@ -156,6 +154,27 @@ def _chunked_pairwise(fn, boxes_a, boxes_b, chunk: int = 256):
     return out.reshape(-1, boxes_b.shape[0])[:N]
 
 
+def _greedy_suppress(suppress_mat, top_valid, k: int):
+    """Sequential greedy suppression over a precomputed (k, k) bitmask."""
+    def body(i, keep):
+        keep_i = keep[i]
+        row = suppress_mat[i] & (jnp.arange(k) > i)
+        return jnp.where(keep_i, keep & ~row, keep)
+
+    return jax.lax.fori_loop(0, k, body, top_valid)
+
+
+def _select_first_kept(keep, top_idx, post_max_size: int):
+    """First post_max_size kept entries, in score order."""
+    keep_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    scat = jnp.where(keep & (keep_rank < post_max_size), keep_rank, post_max_size)
+    out_idx = jnp.zeros((post_max_size + 1,), jnp.int32).at[scat].set(
+        top_idx.astype(jnp.int32)
+    )[:post_max_size]
+    out_val = jnp.zeros((post_max_size + 1,), bool).at[scat].set(keep)[:post_max_size]
+    return out_idx, out_val
+
+
 def nms_rotated(
     boxes: jax.Array,
     scores: jax.Array,
@@ -164,6 +183,7 @@ def nms_rotated(
     thresh: float,
     pre_max_size: int,
     post_max_size: int,
+    chunk_size: int = 2048,
 ):
     """Rotated-BEV NMS (reference `nms_gpu` semantics: suppress by BEV IoU
     of the 7-dof boxes, descending score order).
@@ -171,6 +191,13 @@ def nms_rotated(
     boxes: (N, 7); scores/valid: (N,). Static shapes throughout.
     Returns (indices (post_max_size,) int32 into the input, valid_out
     (post_max_size,) bool).
+
+    Large pre-sizes are processed hierarchically in descending-score
+    chunks: each chunk is first suppressed against the survivors found so
+    far, then greedily NMS'd internally. This is exactly the greedy
+    result (suppression only ever comes from higher-scored survivors) but
+    needs O(N * chunk) pair IoUs instead of O(N^2) -- the reference's
+    train-time pre=9000 would otherwise cost 81M rotated-IoU pairs.
     """
     neg_inf = jnp.finfo(scores.dtype).min
     s = jnp.where(valid, scores, neg_inf)
@@ -179,28 +206,49 @@ def nms_rotated(
     top_valid = top_scores > neg_inf
     top_boxes = boxes[top_idx]
 
-    iou = _chunked_pairwise(boxes_iou_bev, top_boxes, top_boxes, chunk=min(128, k))
-    suppress_mat = (iou > thresh) & top_valid[None, :] & top_valid[:, None]
+    if k <= chunk_size:
+        iou = _chunked_pairwise(boxes_iou_bev, top_boxes, top_boxes, chunk=min(128, k))
+        suppress = (iou > thresh) & top_valid[None, :] & top_valid[:, None]
+        keep = _greedy_suppress(suppress, top_valid, k)
+        return _select_first_kept(keep, top_idx, post_max_size)
 
-    def body(i, keep):
-        keep_i = keep[i]
-        row = suppress_mat[i] & (jnp.arange(k) > i)
-        return jnp.where(keep_i, keep & ~row, keep)
+    # hierarchical: survivors accumulate in a fixed post_max_size buffer
+    n_chunks = -(-k // chunk_size)
+    pad = n_chunks * chunk_size - k
+    top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 7), top_boxes.dtype)])
+    top_valid_p = jnp.concatenate([top_valid, jnp.zeros((pad,), bool)])
+    top_idx_p = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
 
-    keep = jax.lax.fori_loop(0, k, body, top_valid)
+    sv_boxes = jnp.zeros((post_max_size, 7), top_boxes.dtype)
+    sv_idx = jnp.zeros((post_max_size,), jnp.int32)
+    sv_valid = jnp.zeros((post_max_size,), bool)
+    sv_count = jnp.zeros((), jnp.int32)
 
-    # select the first post_max_size kept, in score order
-    keep_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    out_idx = jnp.zeros((post_max_size,), jnp.int32)
-    out_val = jnp.zeros((post_max_size,), bool)
-    scat = jnp.where(keep & (keep_rank < post_max_size), keep_rank, post_max_size)
-    out_idx = jnp.concatenate([out_idx, jnp.zeros((1,), jnp.int32)]).at[scat].set(
-        top_idx.astype(jnp.int32)
-    )[:post_max_size]
-    out_val = jnp.concatenate([out_val, jnp.zeros((1,), bool)]).at[scat].set(keep)[
-        :post_max_size
-    ]
-    return out_idx, out_val
+    for c in range(n_chunks):
+        cb = top_boxes[c * chunk_size: (c + 1) * chunk_size]
+        cv = top_valid_p[c * chunk_size: (c + 1) * chunk_size]
+        ci = top_idx_p[c * chunk_size: (c + 1) * chunk_size]
+        # suppress by existing survivors
+        iou_sv = _chunked_pairwise(boxes_iou_bev, cb, sv_boxes, chunk=min(128, chunk_size))
+        cv = cv & ~jnp.any((iou_sv > thresh) & sv_valid[None, :], axis=1)
+        # intra-chunk greedy
+        iou_cc = _chunked_pairwise(boxes_iou_bev, cb, cb, chunk=min(128, chunk_size))
+        suppress = (iou_cc > thresh) & cv[None, :] & cv[:, None]
+        keep = _greedy_suppress(suppress, cv, chunk_size)
+        # append kept to the survivor buffer (score order preserved)
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1 + sv_count
+        scat = jnp.where(keep & (rank < post_max_size), rank, post_max_size)
+        sv_boxes = jnp.concatenate(
+            [sv_boxes, jnp.zeros((1, 7), sv_boxes.dtype)]
+        ).at[scat].set(jnp.where(keep[:, None], cb, 0.0))[:post_max_size]
+        sv_idx = jnp.concatenate(
+            [sv_idx, jnp.zeros((1,), jnp.int32)]
+        ).at[scat].set(ci.astype(jnp.int32))[:post_max_size]
+        sv_valid = jnp.concatenate(
+            [sv_valid, jnp.zeros((1,), bool)]
+        ).at[scat].set(keep)[:post_max_size]
+        sv_count = jnp.minimum(sv_count + keep.sum(), post_max_size)
+    return sv_idx, sv_valid
 
 
 def nms_normal(

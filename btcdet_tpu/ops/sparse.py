@@ -156,6 +156,30 @@ def lookup(table_keys: jax.Array, queries: jax.Array) -> tuple[jax.Array, jax.Ar
     return idx, found
 
 
+# grids up to this many cells x batch use a dense scatter/gather lookup
+# table instead of sorted search: one O(N) scatter + O(Q) gather beats
+# sorting ~1M rulebook queries (subm2..4 and all strided rulebooks on
+# the det backbone's coarser levels)
+DENSE_LOOKUP_MAX_CELLS = 48_000_000
+
+
+def lookup_in(st: "SparseTensor", queries: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Lookup linear-key queries in a SparseTensor's voxel table, picking
+    a dense table or sorted search by grid size."""
+    nz, ny, nx = st.spatial_shape
+    total = st.batch_size * nz * ny * nx
+    if total > DENSE_LOOKUP_MAX_CELLS:
+        return lookup(st.keys, queries)
+    scat = jnp.where(st.valid, st.keys, total)
+    table = jnp.full((total + 1,), -1, jnp.int32).at[scat].set(
+        jnp.arange(st.capacity, dtype=jnp.int32)
+    )
+    q = jnp.clip(queries, 0, total)  # INT32_MAX padding -> sentinel row
+    idx = table[q]
+    found = idx >= 0
+    return jnp.maximum(idx, 0), found
+
+
 def _kernel_offsets(kernel_size) -> np.ndarray:
     """All (dz, dy, dx) offsets in [0, k) per axis, row-major order."""
     kz, ky, kx = _triple(kernel_size)
@@ -199,7 +223,7 @@ def subm_rulebook(st: SparseTensor, kernel_size) -> tuple[jax.Array, jax.Array]:
     qcoords = jnp.concatenate([b[..., None], nbr], axis=-1).reshape(-1, 4)
     qcoords = jnp.where(inb.reshape(-1)[:, None], qcoords, -1)
     qkeys = linear_key(qcoords, st.spatial_shape, st.batch_size)
-    idx, found = lookup(st.keys, qkeys)
+    idx, found = lookup_in(st, qkeys)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
 
@@ -273,7 +297,7 @@ def conv_rulebook(
     q = jnp.concatenate([b[..., None], in_zyx], axis=-1).reshape(-1, 4)
     q = jnp.where(inb.reshape(-1)[:, None], q, -1)
     qkeys = linear_key(q, in_st.spatial_shape, in_st.batch_size)
-    idx, found = lookup(in_st.keys, qkeys)
+    idx, found = lookup_in(in_st, qkeys)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
 
@@ -324,7 +348,7 @@ def transpose_rulebook(
     q = jnp.concatenate([b[..., None], in_zyx], axis=-1).reshape(-1, 4)
     q = jnp.where(ok.reshape(-1)[:, None], q, -1)
     qkeys = linear_key(q, in_st.spatial_shape, in_st.batch_size)
-    idx, found = lookup(in_st.keys, qkeys)
+    idx, found = lookup_in(in_st, qkeys)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
 

@@ -106,3 +106,29 @@ def test_nms_rotated():
     )
     kept2 = set(np.asarray(idx2)[np.asarray(v2)].tolist())
     assert 0 not in kept2 and 1 in kept2
+
+
+def test_chunked_nms_matches_direct():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    n = 300
+    boxes = np.stack([
+        rng.uniform(0, 30, n), rng.uniform(0, 30, n), np.zeros(n),
+        rng.uniform(2, 5, n), rng.uniform(1, 3, n), np.ones(n),
+        rng.uniform(-np.pi, np.pi, n),
+    ], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+
+    direct = iou3d.nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        thresh=0.3, pre_max_size=300, post_max_size=64, chunk_size=4096,
+    )
+    chunked = iou3d.nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        thresh=0.3, pre_max_size=300, post_max_size=64, chunk_size=64,
+    )
+    d_idx = np.asarray(direct[0])[np.asarray(direct[1])]
+    c_idx = np.asarray(chunked[0])[np.asarray(chunked[1])]
+    np.testing.assert_array_equal(d_idx, c_idx)

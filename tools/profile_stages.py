@@ -120,25 +120,6 @@ def main(mode="test"):
 
     timeit("proposal NMS (pre=9000)", nms_train, boxes, scores, valid, iters=3)
 
-    # ConvHead pooling at eval shapes
-    @jax.jit
-    def roi_pool(v, b):
-        def run(m, bb, train):
-            vfeat, occ_code = m.det_vfe(bb["det_voxels"], bb["det_voxel_num_points"])
-            st = sparse.from_coords(vfeat, bb["det_voxel_coords"], (nz, ny, nx), 1)
-            bbout = m.backbone_3d(st, occ_code, train=train)
-            rois = jnp.zeros((1, 100, 7)).at[..., 3:6].set(2.0)
-            rv = jnp.ones((1, 100), bool)
-            return m.roi_head(
-                rois, rv,
-                points_xyz=bb["points"][..., :3], points_feat=bb["points"][..., 3:],
-                points_mask=bb["points_mask"], x_combine=bbout["x_combine"],
-                train=train,
-            )[0]
-        return net.apply(v, b, train=False, method=run)
-
-    timeit("backbone + ConvHead pool", roi_pool, variables, b2, iters=3)
-
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "test")
