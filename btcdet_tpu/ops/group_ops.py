@@ -38,6 +38,75 @@ def _query_scores(dist2, valid_pts, r_inner2: float, r_outer2: float):
     return jnp.where(in_range, order_score, -1.0)
 
 
+def multi_ball_query(
+    xyz: jax.Array,          # (B, N, 3)
+    xyz_mask: jax.Array,     # (B, N)
+    new_xyz: jax.Array,      # (B, M, 3)
+    new_mask: jax.Array,     # (B, M)
+    radii,                   # sequence of float or (inner, outer)
+    nsamples,                # sequence of int
+    chunk: int = 512,
+    approx: bool = False,
+):
+    """Shared-distance multi-scale ball/shell query: the (M, N) distance
+    matrix is computed once per chunk (as one MXU matmul + norms) and all
+    scales select from it with a single stacked top-k.
+
+    Returns per scale: (idx (B, M, k_s) int32, empty (B, M) bool).
+    """
+    S = len(radii)
+    k_max = max(int(k) for k in nsamples)
+    r2 = []
+    for r in radii:
+        if isinstance(r, (list, tuple)):
+            r2.append((float(r[0]) ** 2, float(r[1]) ** 2))
+        else:
+            r2.append((0.0, float(r) ** 2))
+
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
+    pad = (-M) % chunk
+    q = jnp.concatenate([new_xyz, jnp.zeros((B, pad, 3), new_xyz.dtype)], axis=1)
+    qm = jnp.concatenate([new_mask, jnp.zeros((B, pad), bool)], axis=1)
+    n_chunks = q.shape[1] // chunk
+    q = q.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    qm = qm.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    xyz_sq = jnp.sum(xyz * xyz, axis=-1)  # (B, N)
+    order_score = jnp.arange(N, 0, -1, dtype=jnp.float32)
+
+    def one_chunk(args):
+        qc, qmc = args
+        # dist^2 via matmul (MXU) + norms
+        cross = jnp.einsum("bqc,bnc->bqn", qc, xyz, preferred_element_type=jnp.float32)
+        dist2 = (
+            jnp.sum(qc * qc, axis=-1)[..., None] + xyz_sq[:, None, :] - 2.0 * cross
+        )
+        scores = jnp.stack([
+            jnp.where(
+                (dist2 <= hi) & (dist2 >= lo) & xyz_mask[:, None, :], order_score, -1.0
+            )
+            for lo, hi in r2
+        ])  # (S, B, chunk, N)
+        if approx:
+            top_s, top_i = jax.lax.approx_max_k(scores, k_max, recall_target=0.95)
+        else:
+            top_s, top_i = jax.lax.top_k(scores, k_max)
+        found = top_s > 0
+        cnt0 = found[..., 0]
+        first = top_i[..., 0:1]
+        idx = jnp.where(found, top_i, first)
+        empty = (~cnt0) | ~qmc[None]
+        idx = jnp.where(empty[..., None], 0, idx)
+        return idx.astype(jnp.int32), empty
+
+    idx, empty = jax.lax.map(one_chunk, (q, qm))
+    # (n_chunks, S, B, chunk, ...) -> per scale (B, M, k_s)
+    idx = idx.transpose(1, 2, 0, 3, 4).reshape(S, B, M + pad, k_max)[:, :, :M]
+    empty = empty.transpose(1, 2, 0, 3).reshape(S, B, M + pad)[:, :, :M]
+    return [(idx[s, ..., : int(nsamples[s])], empty[s]) for s in range(S)]
+
+
 def ball_query_group(
     xyz: jax.Array,          # (B, N, 3)
     xyz_mask: jax.Array,     # (B, N) bool
@@ -91,6 +160,32 @@ def ball_query_group(
     if features is not None:
         grouped_feats = jax.vmap(lambda f, ix: f[ix])(features, idx)
     return grouped_xyz, grouped_feats, idx, empty
+
+
+def group_from_idx(
+    xyz, new_xyz, idx, empty, features=None, use_xyz: bool = True,
+    rotate_matrix=None, xy_scale=None, z_scale=None,
+):
+    """Gather + offset/rotate/scale grouped points given query indices
+    (the post-query half of the reference `QueryAndGroup.forward`)."""
+    grouped_xyz = jax.vmap(lambda pts, ix: pts[ix])(xyz, idx)
+    grouped_feats = None
+    if features is not None:
+        grouped_feats = jax.vmap(lambda f, ix: f[ix])(features, idx)
+    offs = grouped_xyz - new_xyz[:, :, None, :]
+    offs = jnp.where(empty[..., None, None], 0.0, offs)
+    if rotate_matrix is not None:
+        offs = jnp.einsum("bmnj,bmij->bmni", offs, rotate_matrix)
+    if xy_scale is not None:
+        offs = offs.at[..., :2].divide(xy_scale[:, :, None, None])
+        offs = offs.at[..., 2:3].divide(z_scale[:, :, None, None])
+    if features is not None:
+        grouped_feats = jnp.where(empty[..., None, None], 0.0, grouped_feats)
+        return (
+            jnp.concatenate([offs, grouped_feats], axis=-1) if use_xyz else grouped_feats
+        )
+    assert use_xyz
+    return offs
 
 
 def query_and_group(
@@ -158,6 +253,7 @@ class PointSAModuleMSG(nn.Module):
     use_xyz: bool = True
     pool_method: str = "max_pool"
     axis_name: str | None = None
+    approx_query: bool = False
 
     @nn.compact
     def __call__(
@@ -165,10 +261,13 @@ class PointSAModuleMSG(nn.Module):
         rotate_matrix=None, xy_scale=None, z_scale=None,
     ):
         outs = []
-        for i, (radius, nsample, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            grouped, empty = query_and_group(
-                xyz, xyz_mask, new_xyz, new_mask, radius, nsample,
-                features=features, use_xyz=self.use_xyz,
+        queries = multi_ball_query(
+            xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
+            approx=self.approx_query,
+        )
+        for i, ((idx, empty), mlp) in enumerate(zip(queries, self.mlps)):
+            grouped = group_from_idx(
+                xyz, new_xyz, idx, empty, features=features, use_xyz=self.use_xyz,
                 rotate_matrix=rotate_matrix, xy_scale=xy_scale, z_scale=z_scale,
             )
             h = GroupMLP(mlp, axis_name=self.axis_name, name=f"mlp_{i}")(

@@ -224,30 +224,48 @@ def nms_rotated(
     sv_valid = jnp.zeros((post_max_size,), bool)
     sv_count = jnp.zeros((), jnp.int32)
 
-    for c in range(n_chunks):
-        cb = top_boxes[c * chunk_size: (c + 1) * chunk_size]
-        cv = top_valid_p[c * chunk_size: (c + 1) * chunk_size]
-        ci = top_idx_p[c * chunk_size: (c + 1) * chunk_size]
-        # suppress by existing survivors
-        iou_sv = _chunked_pairwise(boxes_iou_bev, cb, sv_boxes, chunk=min(128, chunk_size))
-        cv = cv & ~jnp.any((iou_sv > thresh) & sv_valid[None, :], axis=1)
-        # intra-chunk greedy
-        iou_cc = _chunked_pairwise(boxes_iou_bev, cb, cb, chunk=min(128, chunk_size))
-        suppress = (iou_cc > thresh) & cv[None, :] & cv[:, None]
-        keep = _greedy_suppress(suppress, cv, chunk_size)
-        # append kept to the survivor buffer (score order preserved)
-        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1 + sv_count
-        scat = jnp.where(keep & (rank < post_max_size), rank, post_max_size)
-        sv_boxes = jnp.concatenate(
-            [sv_boxes, jnp.zeros((1, 7), sv_boxes.dtype)]
-        ).at[scat].set(jnp.where(keep[:, None], cb, 0.0))[:post_max_size]
-        sv_idx = jnp.concatenate(
-            [sv_idx, jnp.zeros((1,), jnp.int32)]
-        ).at[scat].set(ci.astype(jnp.int32))[:post_max_size]
-        sv_valid = jnp.concatenate(
-            [sv_valid, jnp.zeros((1,), bool)]
-        ).at[scat].set(keep)[:post_max_size]
-        sv_count = jnp.minimum(sv_count + keep.sum(), post_max_size)
+    def chunk_body(carry, inputs):
+        sv_boxes, sv_idx, sv_valid, sv_count = carry
+        cb, cv, ci = inputs
+
+        def run(_):
+            cv2 = cv & ~jnp.any(
+                (_chunked_pairwise(boxes_iou_bev, cb, sv_boxes, chunk=min(128, chunk_size)) > thresh)
+                & sv_valid[None, :],
+                axis=1,
+            )
+            iou_cc = _chunked_pairwise(boxes_iou_bev, cb, cb, chunk=min(128, chunk_size))
+            suppress = (iou_cc > thresh) & cv2[None, :] & cv2[:, None]
+            keep = _greedy_suppress(suppress, cv2, chunk_size)
+            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1 + sv_count
+            scat = jnp.where(keep & (rank < post_max_size), rank, post_max_size)
+            nb = jnp.concatenate(
+                [sv_boxes, jnp.zeros((1, 7), sv_boxes.dtype)]
+            ).at[scat].set(jnp.where(keep[:, None], cb, 0.0))[:post_max_size]
+            ni = jnp.concatenate(
+                [sv_idx, jnp.zeros((1,), jnp.int32)]
+            ).at[scat].set(ci.astype(jnp.int32))[:post_max_size]
+            nv = jnp.concatenate(
+                [sv_valid, jnp.zeros((1,), bool)]
+            ).at[scat].set(keep)[:post_max_size]
+            return nb, ni, nv, jnp.minimum(sv_count + keep.sum(), post_max_size)
+
+        # skip chunks once the survivor buffer is full or the chunk has no
+        # live candidates (train NMS typically fills post_max in chunk 0)
+        new_carry = jax.lax.cond(
+            (sv_count < post_max_size) & jnp.any(cv),
+            run, lambda _: (sv_boxes, sv_idx, sv_valid, sv_count), operand=None,
+        )
+        return new_carry, None
+
+    chunks = (
+        top_boxes.reshape(n_chunks, chunk_size, 7),
+        top_valid_p.reshape(n_chunks, chunk_size),
+        top_idx_p.reshape(n_chunks, chunk_size),
+    )
+    (sv_boxes, sv_idx, sv_valid, sv_count), _ = jax.lax.scan(
+        chunk_body, (sv_boxes, sv_idx, sv_valid, sv_count), chunks
+    )
     return sv_idx, sv_valid
 
 

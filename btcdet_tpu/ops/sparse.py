@@ -228,12 +228,35 @@ def subm_rulebook(st: SparseTensor, kernel_size) -> tuple[jax.Array, jax.Array]:
     return idx.reshape(K, -1), found.reshape(K, -1)
 
 
-def _unique_capped(cand_keys: jax.Array, capacity: int) -> tuple[jax.Array, jax.Array]:
+def _unique_capped(
+    cand_keys: jax.Array, capacity: int, total_cells: int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Sorted-unique with static capacity.
 
     cand_keys: (M,) int32 (INT32_MAX = invalid). Returns (keys, nnz):
     keys (capacity,) sorted ascending with INT32_MAX padding.
+
+    A scatter-min first-occurrence dense-table path exists below but
+    measured SLOWER than the sort on v5e (TPU scatter-min with collisions
+    serializes), so it is disabled; kept for reference/benchmarks.
     """
+    use_dense_dedup = False
+    if use_dense_dedup and total_cells is not None and total_cells <= DENSE_LOOKUP_MAX_CELLS:
+        M = cand_keys.shape[0]
+        ok = cand_keys != INT32_MAX
+        scat = jnp.where(ok, cand_keys, total_cells)
+        table = jnp.full((total_cells + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        table = table.at[scat].min(jnp.arange(M, dtype=jnp.int32))
+        winner = ok & (table[scat] == jnp.arange(M, dtype=jnp.int32))
+        rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+        out = jnp.full((capacity + 1,), INT32_MAX, jnp.int32)
+        out = out.at[jnp.where(winner & (rank < capacity), rank, capacity)].min(
+            jnp.where(winner, cand_keys, INT32_MAX)
+        )[:capacity]
+        out = jnp.sort(out)  # capacity-sized sort, not M-sized
+        nnz = jnp.minimum(winner.sum(), capacity)
+        return out, nnz.astype(jnp.int32)
+
     skey = jnp.sort(cand_keys)
     first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
     first = first & (skey != INT32_MAX)
@@ -268,7 +291,8 @@ def conv_output_sites(
     cand = jnp.concatenate([b[..., None], out_zyx], axis=-1).reshape(-1, 4)
     cand = jnp.where(ok.reshape(-1)[:, None], cand, -1)
     cand_keys = linear_key(cand, out_shape, st.batch_size)
-    keys, nnz = _unique_capped(cand_keys, out_capacity)
+    total = st.batch_size * out_shape[0] * out_shape[1] * out_shape[2]
+    keys, nnz = _unique_capped(cand_keys, out_capacity, total_cells=total)
     coords = key_to_coords(keys, out_shape)
     return keys, coords, nnz, out_shape
 
@@ -320,7 +344,8 @@ def transpose_output_sites(st: SparseTensor, kernel_size, stride, padding, out_c
     cand = jnp.concatenate([b[..., None], out_zyx], axis=-1).reshape(-1, 4)
     cand = jnp.where(inb.reshape(-1)[:, None], cand, -1)
     cand_keys = linear_key(cand, out_shape, st.batch_size)
-    keys, nnz = _unique_capped(cand_keys, out_capacity)
+    total = st.batch_size * out_shape[0] * out_shape[1] * out_shape[2]
+    keys, nnz = _unique_capped(cand_keys, out_capacity, total_cells=total)
     coords = key_to_coords(keys, out_shape)
     return keys, coords, nnz, out_shape
 

@@ -101,9 +101,84 @@ class AbsResidualCoder(ResidualCoder):
         return super().decode(box_encodings, fake_anchors)
 
 
+class DeltaXYZWLHRBBoxCoder(ResidualCoder):
+    """Plain delta coder: center deltas normalized by diagonal, dim log
+    ratios, rot residual -- same math as ResidualCoder here (the
+    reference keeps both names; `box_coder_utils.DeltaXYZWLHRBBoxCoder`)."""
+
+
+class PreviousResidualDecoder:
+    """Decode-only legacy coder (reference
+    `box_coder_utils.PreviousResidualDecoder`)."""
+
+    code_size = 7
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = [anchors[..., i] for i in range(7)]
+        xt, yt, zt, wt, lt, ht, rt = [box_encodings[..., i] for i in range(7)]
+        diagonal = jnp.sqrt(dxa**2 + dya**2)
+        xg = xt * diagonal + xa
+        yg = yt * diagonal + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(lt) * dxa
+        dyg = jnp.exp(wt) * dya
+        dzg = jnp.exp(ht) * dza
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rt + ra], axis=-1)
+
+
+class PointResidualCoder:
+    """Point-anchored coder (CenterPoint-style; reference
+    `box_coder_utils.PointResidualCoder`): boxes encoded against bare
+    points with per-class mean sizes."""
+
+    def __init__(self, code_size: int = 8, use_mean_size: bool = True, mean_size=None, **kwargs):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        self.mean_size = (
+            jnp.asarray(mean_size, jnp.float32)
+            if mean_size is not None
+            else jnp.asarray([[3.9, 1.6, 1.56]], jnp.float32)
+        )
+
+    def encode(self, boxes, points, gt_classes=None):
+        xg, yg, zg, dxg, dyg, dzg, rg = [boxes[..., i] for i in range(7)]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            cls_idx = (gt_classes - 1) if gt_classes is not None else 0
+            mean = self.mean_size[cls_idx]
+            dxa, dya, dza = mean[..., 0], mean[..., 1], mean[..., 2]
+            diag = jnp.sqrt(dxa**2 + dya**2)
+            xt, yt, zt = (xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza
+            dxt, dyt, dzt = jnp.log(dxg / dxa), jnp.log(dyg / dya), jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, jnp.cos(rg), jnp.sin(rg)], axis=-1)
+
+    def decode(self, box_encodings, points, pred_classes=None):
+        xt, yt, zt, dxt, dyt, dzt, cost, sint = [box_encodings[..., i] for i in range(8)]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            cls_idx = (pred_classes - 1) if pred_classes is not None else 0
+            mean = self.mean_size[cls_idx]
+            dxa, dya, dza = mean[..., 0], mean[..., 1], mean[..., 2]
+            diag = jnp.sqrt(dxa**2 + dya**2)
+            xg, yg, zg = xt * diag + xa, yt * diag + ya, zt * dza + za
+            dxg, dyg, dzg = jnp.exp(dxt) * dxa, jnp.exp(dyt) * dya, jnp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = jnp.arctan2(sint, cost)
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
 _CODERS = {
     "ResidualCoder": ResidualCoder,
     "AbsResidualCoder": AbsResidualCoder,
+    "DeltaXYZWLHRBBoxCoder": DeltaXYZWLHRBBoxCoder,
+    "PreviousResidualDecoder": PreviousResidualDecoder,
+    "PointResidualCoder": PointResidualCoder,
 }
 
 
