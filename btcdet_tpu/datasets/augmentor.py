@@ -260,7 +260,11 @@ class MltBestMatchQuerier:
         root = self.bm_roots.get(cls_name)
         if root is None:
             return None
-        path = self.root_path / root / f"{image_idx}_{gt_idx}.pkl"
+        try:
+            name = f"{int(image_idx)}_{int(gt_idx)}.pkl"  # bm files strip zero-padding
+        except (TypeError, ValueError):
+            name = f"{image_idx}_{gt_idx}.pkl"
+        path = self.root_path / root / name
         if not path.exists():
             return None
         with open(path, "rb") as f:

@@ -35,23 +35,29 @@ def proposal_layer(
     batch_box_preds, batch_cls_preds, batch_valid=None, *,
     nms_pre: int, nms_post: int, nms_thresh: float,
 ) -> Proposals:
-    """batch_box_preds: (B, A, 7); batch_cls_preds: (B, A, C)."""
-    B, A, C = batch_cls_preds.shape
+    """batch_box_preds: (B, A, 7); batch_cls_preds: (B, A, C).
 
-    def per_frame(boxes, cls_preds, valid):
+    Frames are processed in a static Python loop, NOT vmap: the chunked
+    NMS early-exits through `lax.cond`, and vmap would lower the cond to
+    a select that executes every chunk (measured 4+ s/step at the
+    reference's train-time pre=9000).
+    """
+    B, A, C = batch_cls_preds.shape
+    if batch_valid is None:
+        batch_valid = jnp.ones((B, A), bool)
+
+    outs = []
+    for b in range(B):
+        boxes = batch_box_preds[b]
+        cls_preds = batch_cls_preds[b]
         scores = cls_preds.max(axis=-1)
         labels = cls_preds.argmax(axis=-1).astype(jnp.int32) + 1
         idx, keep = iou3d.nms_rotated(
-            boxes, scores, valid,
+            boxes, scores, batch_valid[b],
             thresh=nms_thresh, pre_max_size=nms_pre, post_max_size=nms_post,
         )
-        return boxes[idx], scores[idx], labels[idx], keep
-
-    if batch_valid is None:
-        batch_valid = jnp.ones((B, A), bool)
-    rois, scores, labels, valid = jax.vmap(per_frame)(
-        batch_box_preds, batch_cls_preds, batch_valid
-    )
+        outs.append((boxes[idx], scores[idx], labels[idx], keep))
+    rois, scores, labels, valid = (jnp.stack(x) for x in zip(*outs))
     rois = jnp.where(valid[..., None], rois, 0.0)
     return Proposals(rois, jnp.where(valid, scores, 0.0), labels, valid)
 

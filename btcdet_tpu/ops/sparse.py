@@ -274,21 +274,44 @@ def conv_output_sites(
 ):
     """Output coordinate set of a strided sparse conv: every out site whose
     receptive field touches >= 1 active input. Returns (keys, coords, nnz,
-    out_shape)."""
+    out_shape).
+
+    Candidates are enumerated as the per-axis contiguous range
+    o in [ceil((in+p-k+1)/s), floor((in+p)/s)] -- ceil(k/s) values per
+    axis (2 for the k=3/s=2 backbone convs), so the dedup sorts
+    prod(ceil(k/s)) * N = 8N candidates instead of the naive 27N.
+    """
     k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
     out_shape = _conv_out_shape(st.spatial_shape, kernel_size, stride, padding)
-    offsets = _kernel_offsets(kernel_size)  # (K, 3)
-    rel = jnp.asarray(offsets)
+    n_cand = [int(-(-k[i] // s[i])) for i in range(3)]  # ceil(k/s) per axis
 
-    # out*s - p + off = in  =>  out = (in + p - off) / s
-    num = st.coords[None, :, 1:4] + jnp.asarray(p, jnp.int32)[None, None, :] - rel[:, None, :]
-    div = jnp.asarray(s, jnp.int32)[None, None, :]
-    ok = (num >= 0) & (num % div == 0)
-    out_zyx = num // div
-    ok = ok & (out_zyx < jnp.asarray(out_shape, jnp.int32)[None, None, :])
-    ok = jnp.all(ok, axis=-1) & st.valid[None, :]
-    b = jnp.broadcast_to(st.coords[None, :, 0], ok.shape)
-    cand = jnp.concatenate([b[..., None], out_zyx], axis=-1).reshape(-1, 4)
+    zyx = st.coords[:, 1:4]
+    lo = []
+    hi = []
+    for i in range(3):
+        a = zyx[:, i] + p[i] - k[i] + 1
+        lo.append(-((-a) // s[i]))                     # ceil(a / s)
+        hi.append((zyx[:, i] + p[i]) // s[i])          # floor((in+p)/s)
+    per_axis = []
+    for i in range(3):
+        r = lo[i][None, :] + jnp.arange(n_cand[i], dtype=jnp.int32)[:, None]  # (ci, N)
+        oki = (r <= hi[i][None, :]) & (r >= 0) & (r < out_shape[i])
+        per_axis.append((r, oki))
+
+    cz, cy, cx = n_cand
+    rz, okz = per_axis[0]
+    ry, oky = per_axis[1]
+    rx, okx = per_axis[2]
+    # combine: (cz, cy, cx, N)
+    out_z = jnp.broadcast_to(rz[:, None, None, :], (cz, cy, cx, rz.shape[1]))
+    out_y = jnp.broadcast_to(ry[None, :, None, :], (cz, cy, cx, ry.shape[1]))
+    out_x = jnp.broadcast_to(rx[None, None, :, :], (cz, cy, cx, rx.shape[1]))
+    ok = (
+        okz[:, None, None, :] & oky[None, :, None, :] & okx[None, None, :, :]
+        & st.valid[None, None, None, :]
+    )
+    b = jnp.broadcast_to(st.coords[None, None, None, :, 0], ok.shape)
+    cand = jnp.stack([b, out_z, out_y, out_x], axis=-1).reshape(-1, 4)
     cand = jnp.where(ok.reshape(-1)[:, None], cand, -1)
     cand_keys = linear_key(cand, out_shape, st.batch_size)
     total = st.batch_size * out_shape[0] * out_shape[1] * out_shape[2]

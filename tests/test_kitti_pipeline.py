@@ -1,0 +1,208 @@
+"""End-to-end CPU pipeline test on a synthetic on-disk KITTI dataset:
+raw files -> infos -> gt database -> best-match shapes -> dataset
+__getitem__ (augmentation, occ voxelization) -> collate."""
+
+import numpy as np
+import pytest
+
+from btcdet_tpu.config import EasyDict
+from btcdet_tpu.datasets import bestmatch
+from btcdet_tpu.datasets.kitti import kitti_infos
+from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+
+CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
+P1: 700 0 600 0 0 700 180 0 0 0 1 0
+P2: 700 0 600 44 0 700 180 0.1 0 0 1 0.003
+P3: 700 0 600 -330 0 700 180 0.02 0 0 1 0.003
+R0_rect: 1 0 0 0 1 0 0 0 1
+Tr_velo_to_cam: 0 -1 0 0 0 0 -1 -0.08 1 0 0 -0.27
+Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 -0.3
+"""
+
+
+def make_raw_kitti(root, n_frames=4, seed=0):
+    rng = np.random.RandomState(seed)
+    (root / "training" / "velodyne").mkdir(parents=True)
+    (root / "training" / "calib").mkdir(parents=True)
+    (root / "training" / "label_2").mkdir(parents=True)
+    (root / "training" / "planes").mkdir(parents=True)
+    (root / "ImageSets").mkdir(parents=True)
+
+    frame_ids = [f"{i:06d}" for i in range(n_frames)]
+    for fid in frame_ids:
+        # forward-cone points so FOV filtering keeps them
+        n = 4000
+        pts = np.concatenate([
+            rng.uniform([3, -8, -2.5], [40, 8, 0.5], size=(n, 3)),
+            rng.rand(n, 1),
+        ], axis=1).astype(np.float32)
+        # plant two cars with dense-ish interiors
+        labels = []
+        for ci in range(2):
+            cx = rng.uniform(8, 30)
+            cy = rng.uniform(-5, 5)
+            cz = -1.0
+            l_, w_, h_ = 3.9, 1.6, 1.56
+            yaw = rng.uniform(-np.pi, np.pi)
+            local = rng.uniform(-0.5, 0.5, (400, 3)) * [l_, w_, h_]
+            c, s = np.cos(yaw), np.sin(yaw)
+            world = np.stack([
+                local[:, 0] * c - local[:, 1] * s + cx,
+                local[:, 0] * s + local[:, 1] * c + cy,
+                local[:, 2] + cz,
+            ], axis=1)
+            pts = np.concatenate(
+                [pts, np.concatenate([world, rng.rand(400, 1)], 1).astype(np.float32)]
+            )
+            # camera-frame label: x_cam = -y_l, y_cam = -z_l + 0.08.., use the
+            # Tr above: cam = R*velo + t with rows (0,-1,0),(0,0,-1),(1,0,0)
+            loc_cam = np.array([-cy, -(cz - h_ / 2) - 0.08, cx - 0.27])
+            ry = -yaw - np.pi / 2
+            labels.append(
+                f"Car 0.0 0 {-np.arctan2(-cy, cx) + ry:.2f} 300 150 400 250 "
+                f"{h_} {w_} {l_} {loc_cam[0]:.2f} {loc_cam[1]:.2f} {loc_cam[2]:.2f} {ry:.2f}"
+            )
+        pts.astype(np.float32).tofile(str(root / "training" / "velodyne" / f"{fid}.bin"))
+        (root / "training" / "calib" / f"{fid}.txt").write_text(CALIB_TXT)
+        (root / "training" / "label_2" / f"{fid}.txt").write_text("\n".join(labels) + "\n")
+        (root / "training" / "planes" / f"{fid}.txt").write_text(
+            "# Plane\nWidth 4\nHeight 1\n0 -1 0 1.73\n"
+        )
+    (root / "ImageSets" / "train.txt").write_text("\n".join(frame_ids[:3]) + "\n")
+    (root / "ImageSets" / "val.txt").write_text(frame_ids[3] + "\n")
+    return frame_ids
+
+
+def data_cfg(root):
+    return EasyDict({
+        "DATASET": "KittiDataset",
+        "DATA_PATH": str(root),
+        "POINT_CLOUD_RANGE": [0, -16.0, -3.0, 48.0, 16.0, 1.1],
+        "DATA_SPLIT": {"train": "train", "test": "val"},
+        "INFO_PATH": {"train": ["kitti_infos_train.pkl"], "test": ["kitti_infos_val.pkl"]},
+        "FOV_POINTS_ONLY": False,
+        "MAX_POINTS_PER_FRAME": 8192,
+        "MAX_GT_BOXES": 20,
+        "MAX_BM_POINTS": 4096,
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity"],
+            "src_feature_list": ["x", "y", "z", "intensity"],
+        },
+        "OCC": {
+            "VOXEL_SIZE": [0.5, 2.0, 0.45],
+            "DIST_KERN": [5, 9, 5], "HALF_X": True, "EMPT_SUR_THRESH": 1,
+            "POINT_CLOUD_RANGE": [2.0, -40.0, -2.6, 48.0, 40.0, 1.0],
+            "SUPPORT_SPHERE_RANGE": [2.0, -40.0, -16.6, 48.5, 40.0, 4.0, 2.0],
+            "BOX_WEIGHT": 0.2, "RES_NUM_DIM": 3, "CODE_NUM_DIM": 2,
+            "INTEN": 0.0, "DROPOUT_RATE": 0.0, "COORD_TYPE": "cylinder",
+            "USE_ABSXYZ": True, "MAX_VFE": True, "USEOCC_PERCENTAGE": 1.1,
+        },
+        "DATA_AUGMENTOR": {
+            "DISABLE_AUG_LIST": ["placeholder"],
+            "AUG_CONFIG_LIST": [
+                {"NAME": "gt_sampling", "USE_ROAD_PLANE": True,
+                 "DB_INFO_PATH": ["kitti_dbinfos_train.pkl"],
+                 "PREPARE": {"filter_by_min_points": ["Car:5"],
+                             "filter_by_difficulty": [-1]},
+                 "SAMPLE_GROUPS": ["Car:4"], "NUM_POINT_FEATURES": 4,
+                 "DATABASE_WITH_FAKELIDAR": False,
+                 "REMOVE_EXTRA_WIDTH": [0.0, 0.0, 0.0],
+                 "LIMIT_WHOLE_SCENE": False},
+                {"NAME": "add_multi_best_match",
+                 "CAR_MLT_BM_ROOT": "bm_50maxdist_2num_car",
+                 "CYC_MLT_BM_ROOT": "bm_5maxdist_2num_Cyclist",
+                 "PED_MLT_BM_ROOT": "bm_5maxdist_2num_Pedestrian",
+                 "NUM_POINT_FEATURES": 3},
+                {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+                {"NAME": "random_world_scaling", "WORLD_SCALE_RANGE": [0.95, 1.05]},
+                {"NAME": "random_world_rotation",
+                 "WORLD_ROT_ANGLE": [-0.78539816, 0.78539816], "SAVE_PRE_ROT": True},
+            ],
+        },
+        "DATA_PROCESSOR": [
+            {"NAME": "mask_points_and_boxes_outside_range", "REMOVE_OUTSIDE_BOXES": True},
+            {"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True, "test": False}},
+            {"NAME": "transform_points_to_sphere_voxels",
+             "VOXEL_SIZE": [0.5, 2.0, 0.45], "MAX_POINTS_PER_VOXEL": 8,
+             "MAX_NUMBER_OF_VOXELS": {"train": 3000, "test": 3000}},
+            {"NAME": "det_transform_points_to_voxels",
+             "VOXEL_SIZE": [0.1, 0.1, 0.1], "MAX_POINTS_PER_VOXEL": 5,
+             "MAX_NUMBER_OF_VOXELS": {"train": 6000, "test": 6000}},
+        ],
+    })
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    make_raw_kitti(root)
+    kitti_infos.create_kitti_infos(root, workers=2)
+    bestmatch.create_best_match_db(root, class_names=("Car",), splits=("train",))
+    return root
+
+
+def test_infos_and_db(kitti_root):
+    import pickle
+
+    with open(kitti_root / "kitti_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 3
+    anno = infos[0]["annos"]
+    assert "gt_boxes_lidar" in anno and anno["gt_boxes_lidar"].shape[1] == 7
+    # lidar boxes should land near the planted locations (x in 8..30)
+    assert (anno["gt_boxes_lidar"][:, 0] > 5).all()
+    assert (anno["num_points_in_gt"][:2] > 50).all()
+
+    with open(kitti_root / "kitti_dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert len(db["Car"]) == 6
+    bm_files = list((kitti_root / "bm_50maxdist_2num_car").glob("*.pkl"))
+    assert len(bm_files) == 6
+
+
+def test_getitem_train_and_collate(kitti_root):
+    cfg = data_cfg(kitti_root)
+    ds = KittiDataset(cfg, ["Car"], training=True, root_path=kitti_root)
+    assert len(ds) == 3
+    item = ds[0]
+    for key in ("points", "occ_voxels", "occ_voxel_coords", "det_voxels",
+                "det_voxel_coords", "gt_boxes", "bm_points", "rot_z"):
+        assert key in item, key
+    assert item["gt_boxes"].shape[1] == 8
+    assert len(item["bm_points"]) > 0
+    # occ voxel azimuth channel was un-rotated: stored uvd is world frame
+    batch = ds.collate_batch([ds[0], ds[1]])
+    assert batch["points"].shape == (2, 8192, 4)
+    assert batch["gt_boxes"].shape == (2, 20, 8)
+    assert batch["occ_voxels"].shape[0] == 2 * 3000
+    assert batch["bm_points"].shape == (2, 4096, 3)
+    assert batch["use_occ_prob"].all()
+
+
+def test_getitem_eval(kitti_root):
+    cfg = data_cfg(kitti_root)
+    ds = KittiDataset(cfg, ["Car"], training=False, root_path=kitti_root)
+    assert len(ds) == 1
+    item = ds[0]
+    batch = ds.collate_batch([item])
+    assert batch["rot_z"][0] == 0.0
+
+    # prediction decode path: fake perfect detections from gt
+    import pickle
+
+    with open(kitti_root / "kitti_infos_val.pkl", "rb") as f:
+        info = pickle.load(f)[0]
+    gt = info["annos"]["gt_boxes_lidar"]
+    pred = [{
+        "pred_boxes": gt,
+        "pred_scores": np.full(len(gt), 0.9),
+        "pred_labels": np.ones(len(gt), np.int64),
+        "pred_valid": np.ones(len(gt), bool),
+    }]
+    annos = ds.generate_prediction_dicts(
+        {"frame_id": [info["point_cloud"]["lidar_idx"]]}, pred, ["Car"]
+    )
+    assert len(annos[0]["name"]) == len(gt)
+    result_str, result_dict = ds.evaluation(annos, ["Car"])
+    assert "Car_3d/moderate_R40" in result_dict
