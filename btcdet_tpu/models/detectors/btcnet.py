@@ -194,6 +194,11 @@ class BtcNet(nn.Module):
             occ_pnts = occ_out["occ_points"]            # (B, Q, 4+) xyz + prob
             occ_pnts_mask = occ_out["occ_points_mask"]  # (B, Q)
             out["occ_probs"] = occ_out.get("probs")
+            if not train:
+                # occupancy P/R/F1 diagnostics (reference
+                # `occ_post_processing`, `detector3d_template.py:479`)
+                out["occ_pos_mask"] = occ_out["pos_mask"]
+                out["occ_cls_mask"] = occ_out["general_cls_loss_mask"]
             if train and "loss" in occ_out:
                 out["occ_loss"] = occ_out["loss"]
         else:

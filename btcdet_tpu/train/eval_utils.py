@@ -70,12 +70,23 @@ def eval_one_epoch(
         post = post_processing(out, post_cfg, len(class_names))
         post["rois"] = out.get("rois")
         post["roi_valid"] = out.get("roi_valid")
+        for k in ("occ_probs", "occ_pos_mask", "occ_cls_mask"):
+            if k in out:
+                post[k] = out[k]
         return post
 
+    occ_stats_acc = {}
     for batch in dataloader:
         jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
-        jbatch_all = dict(jbatch)
-        post = jax.device_get(infer(variables, jbatch_all))
+        post = jax.device_get(infer(variables, jbatch))
+        if "occ_probs" in post:
+            stats = occ_match_stats(
+                post["occ_probs"],
+                {"pos_mask": post["occ_pos_mask"],
+                 "general_cls_loss_mask": post["occ_cls_mask"]},
+            )
+            for k, v in stats.items():
+                occ_stats_acc.setdefault(k, []).append(v)
         B = post["pred_boxes"].shape[0]
         n_frames += B
         pred_dicts = [
@@ -110,6 +121,8 @@ def eval_one_epoch(
     result_str, result_dict = dataset.evaluation(det_annos, class_names)
     result_dict["sec_per_example"] = sec_per_example
     result_dict["frames_per_sec"] = 1.0 / max(sec_per_example, 1e-9)
+    for k, vals in occ_stats_acc.items():
+        result_dict[k] = float(np.mean(vals))
     if logger:
         logger.info("\n" + result_str)
     return result_str, result_dict, det_annos
