@@ -20,6 +20,46 @@ V100_BASELINE_FPS = 7.5
 TARGET_FPS = 2 * V100_BASELINE_FPS
 
 
+def train_bench(batch_size: int = 2, iters: int = 5):
+    """Secondary metric: training step throughput (not the driver's
+    headline; run with --train)."""
+    import jax
+
+    from btcdet_tpu.config import cfg_from_yaml_file
+    from btcdet_tpu.datasets import make_synthetic_batch
+    from btcdet_tpu.models import build_network
+    from btcdet_tpu.train import trainer as trainer_mod
+
+    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(
+            cfg.DATA_CONFIG, batch_size, 16384, 10, mode="train"
+        ).items()
+    }
+    state, tx = trainer_mod.create_train_state(
+        net, batch, jax.random.PRNGKey(0),
+        det_opt_cfg=cfg.OPTIMIZATION, occ_opt_cfg=cfg.OCC_OPTIMIZATION,
+        total_steps=100,
+    )
+    step = jax.jit(trainer_mod.make_train_step(net, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    _ = float(jax.device_get(metrics["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    _ = float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    fps = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 4.0, 3),  # ~2 fps/V100 train x2 target
+    }))
+
+
 def main(batch_size: int = 1, iters: int = 20, mode: str = "test"):
     from btcdet_tpu.config import cfg_from_yaml_file
     from btcdet_tpu.datasets import make_synthetic_batch
@@ -74,5 +114,9 @@ if __name__ == "__main__":
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--mode", type=str, default="test")
+    p.add_argument("--train", action="store_true")
     a = p.parse_args()
-    main(a.batch_size, a.iters, a.mode)
+    if a.train:
+        train_bench(max(a.batch_size, 2), min(a.iters, 10))
+    else:
+        main(a.batch_size, a.iters, a.mode)

@@ -274,10 +274,10 @@ class KittiDataset:
                 "score": scores,
                 "boxes_lidar": boxes,
             }
-            calib = batch_dict.get("calib_list", [None] * 100)[index] if "calib_list" in batch_dict else None
-            if calib is None and self.kitti_infos:
-                info_map = getattr(self, "_frame_to_info", None)
-                if info_map is None:
+            calib = None
+            img_shape = None
+            if self.kitti_infos:
+                if not hasattr(self, "_frame_to_info"):
                     self._frame_to_info = {
                         i["point_cloud"]["lidar_idx"]: i for i in self.kitti_infos
                     }

@@ -58,11 +58,33 @@ def make_synthetic_batch(
     occ_max_vox = int(occ_cfg.MAX_NUMBER_OF_VOXELS[mode]) if use_occ else 0
 
     for b in range(batch_size):
+        # LiDAR-like background: a ground surface plus a few vertical
+        # walls, so voxel-neighborhood statistics resemble real scans
+        # (uniform 3D noise would make every voxel isolated)
         n_bg = num_points * 3 // 4
-        pts = np.concatenate([
-            rng.uniform(pcr[:3], pcr[3:6], size=(n_bg, 3)),
-            rng.rand(n_bg, 1),
-        ], axis=1).astype(np.float32)
+        n_ground = n_bg * 2 // 3
+        gxy = rng.uniform(pcr[:2], pcr[3:5], size=(n_ground, 2))
+        gz = -1.7 + 0.04 * np.sin(gxy[:, 0]) + rng.randn(n_ground) * 0.02
+        ground = np.concatenate([gxy, gz[:, None]], axis=1)
+        n_wall = n_bg - n_ground
+        n_walls = 6
+        per_wall = n_wall // n_walls
+        walls = []
+        for w in range(n_walls):
+            x0 = rng.uniform(pcr[0] + 5, pcr[3] - 5)
+            y0 = rng.uniform(pcr[1] + 5, pcr[4] - 5)
+            ang = rng.uniform(0, np.pi)
+            t = rng.uniform(-4, 4, per_wall)
+            walls.append(np.stack([
+                x0 + t * np.cos(ang) + rng.randn(per_wall) * 0.02,
+                y0 + t * np.sin(ang) + rng.randn(per_wall) * 0.02,
+                rng.uniform(-1.7, 0.8, per_wall),
+            ], axis=1))
+        bg = np.concatenate([ground] + walls, axis=0)[:n_bg]
+        if len(bg) < n_bg:
+            bg = np.concatenate([bg, ground[: n_bg - len(bg)]], axis=0)
+        bg = np.clip(bg, pcr[:3] + 1e-3, pcr[3:6] - 1e-3)
+        pts = np.concatenate([bg, rng.rand(n_bg, 1)], axis=1).astype(np.float32)
 
         boxes = _plant_boxes(rng, num_gt, pcr)
         # densify box interiors (front-ish half, crude self-occlusion)
