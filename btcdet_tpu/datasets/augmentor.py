@@ -305,6 +305,72 @@ class MltBestMatchQuerier:
         return data_dict
 
 
+class BestMatchQuerier:
+    """add_best_match -- the older single-best-match variant reading a
+    precomputed `bmatch_infos` pkl (reference `best_match_querier.py`;
+    superseded by MltBestMatchQuerier, kept for config compatibility)."""
+
+    def __init__(self, root_path, querier_cfg, class_names, logger=None):
+        self.root_path = Path(root_path)
+        self.cfg = querier_cfg
+        path = self.root_path / querier_cfg.get("BM_INFO_PATH", "bmatch_infos.pkl")
+        self.bmatch_infos = {}
+        if path.exists():
+            with open(path, "rb") as f:
+                self.bmatch_infos = pickle.load(f)
+
+    def __call__(self, data_dict, rng=None):
+        gt_boxes = data_dict["gt_boxes"]
+        bm_list = []
+        frame_id = data_dict.get("frame_id")
+        for i, box in enumerate(gt_boxes):
+            pts = self.bmatch_infos.get((frame_id, i))
+            if pts is None or len(pts) == 0:
+                continue
+            pts = np.asarray(pts, np.float32)[:, :3]
+            c, s = np.cos(box[6]), np.sin(box[6])
+            world = np.stack([
+                pts[:, 0] * c - pts[:, 1] * s + box[0],
+                pts[:, 0] * s + pts[:, 1] * c + box[1],
+                pts[:, 2] + box[2],
+            ], axis=1)
+            bm_list.append(world)
+        data_dict["bm_points"] = (
+            np.concatenate(bm_list, axis=0).astype(np.float32)
+            if bm_list else np.zeros((0, 3), np.float32)
+        )
+        return data_dict
+
+
+class SupGTSampling(DataBaseSampler):
+    """sup_gt_sampling -- extended gt sampler with jittered placement and
+    a per-object drop rate (reference `sup_gt_sampling.py`; unused by the
+    shipped config). Reuses the collision-rejection machinery of the base
+    sampler and adds placement jitter before pasting."""
+
+    def __init__(self, root_path, sampler_cfg, class_names, logger=None):
+        super().__init__(root_path, sampler_cfg, class_names, logger)
+        self.jitter_xy = float(sampler_cfg.get("JITTER_XY", 0.0))
+        self.jitter_rot = float(sampler_cfg.get("JITTER_ROT", 0.0))
+        self.drop_rate = float(sampler_cfg.get("DROP_RATE", 0.0))
+
+    def sample_with_fixed_number(self, class_name, sample_group, rng):
+        sampled = super().sample_with_fixed_number(class_name, sample_group, rng)
+        if self.drop_rate > 0:
+            sampled = [s for s in sampled if rng.rand() > self.drop_rate]
+        out = []
+        for info in sampled:
+            info = dict(info)
+            box = np.array(info["box3d_lidar"], np.float32).copy()
+            if self.jitter_xy > 0:
+                box[:2] += rng.uniform(-self.jitter_xy, self.jitter_xy, 2)
+            if self.jitter_rot > 0:
+                box[6] += rng.uniform(-self.jitter_rot, self.jitter_rot)
+            info["box3d_lidar"] = box
+            out.append(info)
+        return out
+
+
 class DataAugmentor:
     def __init__(self, root_path, augmentor_configs, class_names, logger=None):
         self.root_path = root_path
@@ -321,8 +387,12 @@ class DataAugmentor:
         name = cfg.NAME
         if name == "gt_sampling":
             return DataBaseSampler(self.root_path, cfg, self.class_names, self.logger)
+        if name == "sup_gt_sampling":
+            return SupGTSampling(self.root_path, cfg, self.class_names, self.logger)
         if name == "add_multi_best_match":
             return MltBestMatchQuerier(self.root_path, cfg, self.class_names, self.logger)
+        if name == "add_best_match":
+            return BestMatchQuerier(self.root_path, cfg, self.class_names, self.logger)
         if name in ("random_world_flip", "random_world_rotation", "random_world_scaling"):
             return cfg  # handled inline in forward
         raise NotImplementedError(name)
@@ -330,7 +400,8 @@ class DataAugmentor:
     def forward(self, data_dict, rng=None):
         rng = rng or np.random
         for name, handler in self.queue:
-            if name in ("gt_sampling", "add_multi_best_match"):
+            if name in ("gt_sampling", "sup_gt_sampling",
+                        "add_multi_best_match", "add_best_match"):
                 data_dict = handler(data_dict, rng=rng)
                 continue
             cfg = handler

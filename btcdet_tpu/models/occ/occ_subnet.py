@@ -382,7 +382,13 @@ class OccSubnet(nn.Module):
         all_pts = jnp.concatenate([det_pts6, occ_pts6], axis=1)
         all_ok = jnp.concatenate([det_ok, valid], axis=1)
 
-        merged_cap = per_frame_vox + (K // 4)
+        # static capacity of the merged voxel table. The reference grows
+        # the voxel set dynamically (`combine_gt_occ_voxel_point`); K//4
+        # headroom assumes occ points share det voxels ~4:1 on average --
+        # override via OCC_PNT_UPDATE.MERGED_CAP_EXTRA for trained models
+        # that emit many isolated occupancy points.
+        extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", K // 4))
+        merged_cap = per_frame_vox + extra
         res = jax.vmap(
             lambda p, v: voxelizer.voxelize(
                 p, v,
