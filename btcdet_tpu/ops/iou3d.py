@@ -183,7 +183,7 @@ def nms_rotated(
     thresh: float,
     pre_max_size: int,
     post_max_size: int,
-    chunk_size: int = 2048,
+    chunk_size: int = 256,
 ):
     """Rotated-BEV NMS (reference `nms_gpu` semantics: suppress by BEV IoU
     of the 7-dof boxes, descending score order).
@@ -206,7 +206,7 @@ def nms_rotated(
     top_valid = top_scores > neg_inf
     top_boxes = boxes[top_idx]
 
-    if k <= chunk_size:
+    if k <= max(chunk_size, 2 * post_max_size):
         iou = _chunked_pairwise(boxes_iou_bev, top_boxes, top_boxes, chunk=min(128, k))
         suppress = (iou > thresh) & top_valid[None, :] & top_valid[:, None]
         keep = _greedy_suppress(suppress, top_valid, k)

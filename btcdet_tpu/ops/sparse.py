@@ -158,9 +158,10 @@ def lookup(table_keys: jax.Array, queries: jax.Array) -> tuple[jax.Array, jax.Ar
 
 # grids up to this many cells x batch use a dense scatter/gather lookup
 # table instead of sorted search: one O(N) scatter + O(Q) gather beats
-# sorting ~1M rulebook queries (subm2..4 and all strided rulebooks on
-# the det backbone's coarser levels)
-DENSE_LOOKUP_MAX_CELLS = 48_000_000
+# sorting ~1M rulebook queries. 96M cells covers the full KITTI det grid
+# at batch 1 (~370MB transient int32 table); larger products (training
+# batches on the level-1 grid) fall back to sorted search automatically.
+DENSE_LOOKUP_MAX_CELLS = 96_000_000
 
 
 def lookup_in(st: "SparseTensor", queries: jax.Array) -> tuple[jax.Array, jax.Array]:
