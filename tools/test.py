@@ -111,6 +111,8 @@ def main():
                     best[k] = v
                     logger.info(f"new best {k}: {v:.4f} (step {s})")
             evaluated.add(s)
+            with open(output_dir / "eval_list_val.txt", "a") as f:
+                f.write(f"{s}\n")  # reference test.py:86-88 eval record
             wait_start = time.time()
         if not args.eval_all:
             break

@@ -105,6 +105,16 @@ def main():
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = create_logger(output_dir / ("train_%s.log" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")))
     log_config_to_file(cfg, logger=logger)
+    # config snapshot into the run dir (reference train.py:113)
+    import shutil
+    shutil.copy(args.cfg_file, output_dir / Path(args.cfg_file).name)
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(str(output_dir / "tensorboard"))
+    except Exception:
+        logger.info("tensorboard unavailable; scalar logging to console only")
 
     epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
     loader, steps_per_epoch, _ = make_dataloader(args, cfg, logger)
@@ -147,6 +157,11 @@ def main():
                 m = jax.device_get(metrics)
                 msg = "  ".join(f"{k}={float(v):.4f}" for k, v in sorted(m.items()))
                 logger.info(f"epoch {epoch} it {i}/{steps_per_epoch}  {msg}")
+                if tb is not None:
+                    gstep = epoch * steps_per_epoch + i
+                    for k, v in m.items():
+                        prefix = "occ/" if k.startswith("occ") else "train/"
+                        tb.add_scalar(prefix + k, float(v), gstep)
         if (epoch + 1) % args.ckpt_save_interval == 0 or epoch == epochs - 1:
             mgr.save(int(state.step), state)
             logger.info(f"saved checkpoint at step {int(state.step)}")
