@@ -64,12 +64,10 @@ class VoxelSetAbstraction(nn.Module):
                 st = multi_scale.get(name)
                 if st is None or not isinstance(st, sparse.SparseTensor):
                     continue
+                level = int(name[-1]) if name.startswith("x_conv") else 4
                 centers = common.get_voxel_centers(
                     st.coords[:, 1:4],
-                    downsample_times=[
-                        self.bev_stride // max(1, 2 ** (4 - int(name[-1])))
-                        if name.startswith("x_conv") else 1
-                    ][0],
+                    downsample_times=2 ** (level - 1),
                     voxel_size=self.voxel_size,
                     point_cloud_range=self.point_cloud_range,
                 )

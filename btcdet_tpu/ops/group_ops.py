@@ -304,8 +304,7 @@ def furthest_point_sample(xyz, mask, npoint: int):
     B, N, _ = xyz.shape
 
     def one(pts, m):
-        dist = jnp.where(m, jnp.inf, -jnp.inf)  # masked points never chosen
-        dist = jnp.where(m, 1e10, -1.0)
+        dist = jnp.where(m, 1e10, -1.0)  # masked points never chosen
 
         def body(i, state):
             dist, last, out = state
