@@ -212,7 +212,46 @@ def create_best_match_db(
     log("bestmatch generation done")
 
 
+def inspect_bm_db(data_path, cls: str = "Car", logger=None):
+    """Summarize a generated bm db: object count, point-count and
+    BEV-coverage distributions. Replaces the reference's hard-coded
+    inspection script (`btcdet/datasets/finddiff.py`; its sibling
+    `findbestfit.py` car-only generator is subsumed by
+    `create_best_match_db`)."""
+    log = logger.info if logger else print
+    data_path = Path(data_path)
+    _, _, ex_ratio, max_bm, _, _, _ = CLASS_PARAMS[cls]
+    out_dir = data_path / f"bm_{ex_ratio}maxdist_{max_bm}num_{cls if cls != 'Car' else 'car'}"
+    files = sorted(out_dir.glob("*.pkl"))
+    if not files:
+        log(f"inspect {cls}: no bm files under {out_dir}")
+        return {}
+    counts, spans = [], []
+    for fp in files:
+        with open(fp, "rb") as f:
+            pts = pickle.load(f)
+        counts.append(len(pts))
+        if len(pts):
+            spans.append((pts[:, :3].max(0) - pts[:, :3].min(0)))
+    counts = np.array(counts)
+    stats = {
+        "num_objects": len(files),
+        "pts_mean": float(counts.mean()),
+        "pts_p50": float(np.percentile(counts, 50)),
+        "pts_p95": float(np.percentile(counts, 95)),
+        "pts_max": int(counts.max()),
+        "span_mean_xyz": np.mean(spans, axis=0).round(2).tolist() if spans else None,
+    }
+    log(f"inspect {cls}: {stats}")
+    return stats
+
+
 if __name__ == "__main__":
     import sys
 
-    create_best_match_db(sys.argv[1] if len(sys.argv) > 1 else "data/kitti/detection3d")
+    if "--inspect" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--inspect"]
+        inspect_bm_db(args[0] if args else "data/kitti/detection3d",
+                      cls=args[1] if len(args) > 1 else "Car")
+    else:
+        create_best_match_db(sys.argv[1] if len(sys.argv) > 1 else "data/kitti/detection3d")

@@ -328,7 +328,7 @@ class KittiDataset:
 
     def evaluation(self, det_annos, class_names, **kwargs):
         if "annos" not in self.kitti_infos[0]:
-            return "no gt annos", {}
+            return "no gt annos", {}, {}
         from ...eval import kitti_eval
 
         eval_det_annos = copy.deepcopy(det_annos)

@@ -352,6 +352,7 @@ def eval_class(
     num_difficulty = len(difficultys)
     precision = np.zeros([num_class, num_difficulty, num_minoverlap, num_sample_pts])
     recall = np.zeros_like(precision)
+    real_recall = np.zeros_like(precision)
     aos = np.zeros_like(precision)
 
     for m, current_class in enumerate(current_classes):
@@ -395,12 +396,20 @@ def eval_class(
                     precision[m, d, k, t] = pr[t, 0] / (pr[t, 0] + pr[t, 1])
                     if compute_aos:
                         aos[m, d, k, t] = pr[t, 3] / (pr[t, 0] + pr[t, 1])
+                    # running max of the *raw* recall curve up to t
+                    # (reference eval.py:489,545 "real_recall")
+                    real_recall[m, d, k, t] = recall[m, d, k, : t + 1].max()
                 for t in range(len(thresholds)):
                     precision[m, d, k, t] = precision[m, d, k, t:].max()
                     recall[m, d, k, t] = recall[m, d, k, t:].max()
                     if compute_aos:
                         aos[m, d, k, t] = aos[m, d, k, t:].max()
-    return {"recall": recall, "precision": precision, "orientation": aos}
+    return {
+        "recall": recall,
+        "real_recall": real_recall,
+        "precision": precision,
+        "orientation": aos,
+    }
 
 
 def get_mAP(prec):
@@ -417,7 +426,32 @@ def get_mAP_R40(prec):
     return sums / 40 * 100
 
 
-def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False):
+def create_details(current_classes, pc, rc, difficultys=None):
+    """Per-class / per-difficulty precision+real-recall curve export for
+    PR-curve plotting (reference `eval.py:639` create_details). `pc`/`rc`
+    are [num_class, num_diff, num_minoverlap, 41] precision / real_recall."""
+    if difficultys is None or isinstance(difficultys[0], int):
+        diff_to_name = {0: "easy", 1: "moderate", 2: "hard"}
+    else:
+        diff_to_name = {
+            i: "{}<=cvrg<{}".format(d[0], d[1]) for i, d in enumerate(difficultys)
+        }
+    out = {}
+    for j, curcls in enumerate(current_classes):
+        cls_name = CLASS_NAMES[curcls].capitalize()
+        out[cls_name] = {}
+        for d in range(pc.shape[1]):
+            out[cls_name][diff_to_name[d]] = {
+                "R11_pc": pc[j, d, 0, 0::4],
+                "R11_rc": rc[j, d, 0, 0::4],
+                "R40_pc": pc[j, d, 0, 1:],
+                "R40_rc": rc[j, d, 0, 1:],
+            }
+    return out
+
+
+def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False,
+            pr_rc_details=None):
     difficultys = [0, 1, 2]
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0, min_overlaps,
                      compute_aos)
@@ -430,15 +464,25 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False
     ret_bev = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1, min_overlaps)
     mAP_bev = get_mAP(ret_bev["precision"])
     mAP_bev_R40 = get_mAP_R40(ret_bev["precision"])
+    if pr_rc_details is not None:
+        pr_rc_details["bev"] = create_details(
+            current_classes, ret_bev["precision"], ret_bev["real_recall"], difficultys)
     ret_3d = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2, min_overlaps)
     mAP_3d = get_mAP(ret_3d["precision"])
     mAP_3d_R40 = get_mAP_R40(ret_3d["precision"])
+    if pr_rc_details is not None:
+        pr_rc_details["3d"] = create_details(
+            current_classes, ret_3d["precision"], ret_3d["real_recall"], difficultys)
     return (mAP_bbox, mAP_bev, mAP_3d, mAP_aos,
             mAP_bbox_R40, mAP_bev_R40, mAP_3d_R40, mAP_aos_R40)
 
 
 def get_official_eval_result(gt_annos, dt_annos, current_classes):
-    """reference `eval.py:685`. Returns (result_str, result_dict)."""
+    """reference `eval.py:685`. Returns (result_str, result_dict,
+    pr_rc_details) — the third element holds per-class precision /
+    real-recall curves for 'bev' and '3d' at the 0.7-overlap setting
+    (reference `eval.py:720,803`), consumed by
+    tools/visual_utils/visualize_pcrc_curve.py via `pc_rc.pkl`."""
     overlap_0_7 = np.array([
         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
@@ -466,11 +510,13 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
     )
     result = ""
     ret_dict = {}
+    pr_rc_details = {}
     (mAPbbox, mAPbev, mAP3d, mAPaos,
      mAPbbox_R40, mAPbev_R40, mAP3d_R40, mAPaos_R40) = [], [], [], [], [], [], [], []
     for k in range(min_overlaps.shape[0]):
         ret = do_eval(
-            gt_annos, dt_annos, current_classes_int, min_overlaps[k][None], compute_aos
+            gt_annos, dt_annos, current_classes_int, min_overlaps[k][None], compute_aos,
+            pr_rc_details=pr_rc_details if k == 0 else None,
         )
         mAPbbox.append(ret[0])
         mAPbev.append(ret[1])
@@ -507,4 +553,4 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
                     ret_dict[f"{cls_name}_image/{dname}"] = mAPbbox[k][j, d, 0]
                     if compute_aos and mAPaos_R40[k] is not None:
                         ret_dict[f"{cls_name}_aos/{dname}_R40"] = mAPaos_R40[k][j, d, 0]
-    return result, ret_dict
+    return result, ret_dict, pr_rc_details

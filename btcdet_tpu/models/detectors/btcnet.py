@@ -77,6 +77,7 @@ class BtcNet(nn.Module):
             occ_conv_exec=tuple(bb.get("OCC_CONV_EXECUTE", [])),
             out_feat_type=tuple(bb.get("OUT_FEAT_TYPE", ["None"] * 4 + ["big_bev_combine"])),
             out_att=tuple(bb.get("OCC_ATT", [False] * 4)),
+            level_caps=tuple(bb["LEVEL_CAPACITIES"]) if bb.get("LEVEL_CAPACITIES") else None,
             axis_name=self.axis_name,
             name="det_backbone_3d",
         )

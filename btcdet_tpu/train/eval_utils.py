@@ -3,7 +3,9 @@ and `detector3d_template.py:479-591`)."""
 
 from __future__ import annotations
 
+import pickle
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +13,31 @@ import numpy as np
 
 from ..models.detectors.btcnet import post_processing
 from ..ops import iou3d
+
+
+def _dump_cloud(cloud_dir: Path, batch_idx: int, batch: dict, post: dict):
+    """Write a named point-set dict `.npy` per frame for
+    tools/visual_utils/visualize_pc.py (reference cloud dumps,
+    `eval_utils.py:119-120`)."""
+    cloud_dir.mkdir(parents=True, exist_ok=True)
+    B = post["pred_boxes"].shape[0]
+    pts = batch.get("points")  # collated (M, 1+C) with batch column
+    for b in range(B):
+        d = {}
+        if pts is not None:
+            p = np.asarray(pts)
+            d["gt_points"] = p[p[:, 0] == b][:, 1:4]
+        if "occ_points" in post:
+            op = np.asarray(post["occ_points"][b])
+            om = np.asarray(post["occ_points_mask"][b]).astype(bool)
+            d["addpnt_view"] = op[om][:, :3]
+        if "gt_boxes" in batch:
+            gb = np.asarray(batch["gt_boxes"][b])
+            d["gt_boxes"] = gb[np.abs(gb[:, 3:6]).sum(1) > 0][:, :7]
+        pv = np.asarray(post["pred_valid"][b]).astype(bool)
+        d["pred_boxes"] = np.asarray(post["pred_boxes"][b])[pv][:, :7]
+        d["pred_scores"] = np.asarray(post["pred_scores"][b])[pv]
+        np.save(cloud_dir / f"pc_eval_{batch_idx}_{b}.npy", d)
 
 
 def occ_match_stats(probs, targets, thresholds=(0.3, 0.5, 0.7)):
@@ -57,8 +84,14 @@ def recall_record(pred_boxes, pred_valid, rois, roi_valid, gt_boxes, thresh_list
 def eval_one_epoch(
     net, variables, dataloader, dataset, post_cfg, class_names,
     logger=None, result_dir=None, recall_thresh_list=(0.3, 0.5, 0.7),
+    cloud_dir=None, vis_stride: int = 0,
 ):
-    """reference `eval_one_epoch:41`. dataloader yields collated batches."""
+    """reference `eval_one_epoch:41`. dataloader yields collated batches.
+
+    When `cloud_dir` is set and `vis_stride > 0`, every vis_stride-th
+    batch is dumped as a named point-set dict `.npy` (reference
+    `eval_utils.py:119-120` cloud dumps) for
+    tools/visual_utils/visualize_pc.py."""
     det_annos = []
     recall_dict = {}
     n_frames = 0
@@ -70,15 +103,20 @@ def eval_one_epoch(
         post = post_processing(out, post_cfg, len(class_names))
         post["rois"] = out.get("rois")
         post["roi_valid"] = out.get("roi_valid")
-        for k in ("occ_probs", "occ_pos_mask", "occ_cls_mask"):
+        for k in ("occ_probs", "occ_pos_mask", "occ_cls_mask",
+                  "occ_points", "occ_points_mask"):
             if k in out:
                 post[k] = out[k]
         return post
 
     occ_stats_acc = {}
+    batch_idx = -1
     for batch in dataloader:
+        batch_idx += 1
         jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
         post = jax.device_get(infer(variables, jbatch))
+        if cloud_dir is not None and vis_stride > 0 and batch_idx % vis_stride == 0:
+            _dump_cloud(Path(cloud_dir), batch_idx, batch, post)
         if "occ_probs" in post:
             stats = occ_match_stats(
                 post["occ_probs"],
@@ -118,7 +156,12 @@ def eval_one_epoch(
                 f"recall_roi_{t}: {recall_dict.get(f'roi_{t}', 0) / gt_cnt:.4f}  "
                 f"recall_rcnn_{t}: {recall_dict.get(f'rcnn_{t}', 0) / gt_cnt:.4f}"
             )
-    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    result_str, result_dict, pr_rc_details = dataset.evaluation(det_annos, class_names)
+    if result_dir is not None and pr_rc_details:
+        # PR-curve detail export read by visualize_pcrc_curve.py
+        # (reference eval_utils.py:175-192 pc_rc.pkl)
+        with open(Path(result_dir) / "pc_rc.pkl", "wb") as f:
+            pickle.dump(pr_rc_details, f)
     result_dict["sec_per_example"] = sec_per_example
     result_dict["frames_per_sec"] = 1.0 / max(sec_per_example, 1e-9)
     for k, vals in occ_stats_acc.items():

@@ -48,7 +48,7 @@ def make_annos(rng, n_img=10, perfect=True):
 def test_perfect_predictions_ap_100():
     rng = np.random.RandomState(0)
     gt, dt = make_annos(rng, n_img=60, perfect=True)
-    result, ret = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+    result, ret, _ = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     # with num_gt >> 41 every recall sample point is populated
     assert ret["Car_3d/easy_R40"] > 97.0, result
     assert ret["Car_bev/moderate_R40"] > 97.0
@@ -58,7 +58,7 @@ def test_perfect_predictions_ap_100():
 def test_empty_predictions_ap_0():
     rng = np.random.RandomState(1)
     gt, dt = make_annos(rng, n_img=6, perfect=False)
-    result, ret = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+    result, ret, _ = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     assert ret["Car_3d/moderate_R40"] == 0.0
 
 
@@ -72,7 +72,7 @@ def test_shifted_predictions_partial():
         d["location"][:k, 0] += 10.0
         d["bbox"][:k, 0] += 500
         d["bbox"][:k, 2] += 500
-    result, ret = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+    result, ret, _ = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     ap = ret["Car_3d/moderate_R40"]
     assert 10.0 < ap < 90.0, (ap, result)
 
@@ -86,11 +86,72 @@ def test_native_matches_python_fallback():
     if not lib:
         import pytest
         pytest.skip("no native toolchain")
-    r_native, ret_native = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+    r_native, ret_native, _ = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     kitti_eval._NATIVE = False  # force fallback
     try:
-        r_py, ret_py = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+        r_py, ret_py, _ = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     finally:
         kitti_eval._NATIVE = None
     for k in ret_native:
         assert abs(ret_native[k] - ret_py[k]) < 1e-9, k
+
+
+def test_pr_rc_details_export(tmp_path):
+    """The third return element holds bev/3d precision + real-recall
+    curves (reference eval.py:639 create_details) and the PR-curve tool
+    can plot them."""
+    rng = np.random.RandomState(2)
+    gt, dt = make_annos(rng, n_img=60, perfect=True)
+    _, _, details = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
+    assert set(details.keys()) == {"bev", "3d"}
+    car = details["3d"]["Car"]
+    assert set(car.keys()) == {"easy", "moderate", "hard"}
+    c = car["moderate"]
+    assert c["R11_pc"].shape == (11,) and c["R40_pc"].shape == (40,)
+    assert c["R11_rc"].shape == (11,) and c["R40_rc"].shape == (40,)
+    # real_recall is a running max of raw recall -> non-decreasing
+    assert np.all(np.diff(c["R40_rc"]) >= -1e-9)
+    # perfect predictions: precision stays ~1 wherever recall is sampled
+    assert c["R40_pc"].max() > 0.97
+
+    # the plotting tool consumes pc_rc.pkl end to end
+    import pickle
+    import subprocess
+    import sys
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    with open(run_dir / "pc_rc.pkl", "wb") as f:
+        pickle.dump(details, f)
+    r = subprocess.run(
+        [sys.executable, "tools/visual_utils/visualize_pcrc_curve.py",
+         "--dir1", str(run_dir)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert r.returncode == 0, r.stderr
+    assert (run_dir / "pr_3d_Car_R40.png").exists()
+
+
+def test_visualize_pc_tool(tmp_path):
+    """visualize_pc renders a dumped point-set dict to PNG."""
+    import subprocess
+    import sys
+
+    dump_dir = tmp_path / "cloud"
+    dump_dir.mkdir()
+    rng = np.random.RandomState(3)
+    d = {
+        "gt_points": rng.uniform(-10, 10, (500, 3)).astype(np.float32),
+        "addpnt_view": rng.uniform(-5, 5, (40, 3)).astype(np.float32),
+        "gt_boxes": np.array([[0, 0, 0, 4, 1.6, 1.5, 0.3]], np.float32),
+        "pred_boxes": np.array([[1, 1, 0, 4, 1.6, 1.5, -0.2]], np.float32),
+        "pred_scores": np.array([0.9], np.float32),
+    }
+    np.save(dump_dir / "pc_eval_0_0.npy", d)
+    r = subprocess.run(
+        [sys.executable, "tools/visual_utils/visualize_pc.py",
+         "--dir1", str(dump_dir)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert r.returncode == 0, r.stderr
+    assert (dump_dir / "pc_eval_0_0.png").exists()

@@ -204,5 +204,5 @@ def test_getitem_eval(kitti_root):
         {"frame_id": [info["point_cloud"]["lidar_idx"]]}, pred, ["Car"]
     )
     assert len(annos[0]["name"]) == len(gt)
-    result_str, result_dict = ds.evaluation(annos, ["Car"])
+    result_str, result_dict, _pr_rc = ds.evaluation(annos, ["Car"])
     assert "Car_3d/moderate_R40" in result_dict

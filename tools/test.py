@@ -33,6 +33,9 @@ def parse_config():
     parser.add_argument("--eval_all", action="store_true")
     parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--vis_stride", type=int, default=0,
+                        help="dump every Nth batch as a cloud .npy for "
+                             "tools/visual_utils/visualize_pc.py (0=off)")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -65,6 +68,8 @@ def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
         logger=logger,
         result_dir=result_dir if args.save_to_file else None,
         recall_thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+        cloud_dir=(result_dir / "cloud") if args.vis_stride else None,
+        vis_stride=args.vis_stride,
     )
 
 
