@@ -26,6 +26,106 @@ def _plant_boxes(rng, n, point_range):
     return np.concatenate([ctr, dims, yaw[:, None]], axis=1).astype(np.float32)
 
 
+def _raycast_cloud(rng, boxes, pcr, num_points):
+    """Analytic HDL-64-like LiDAR scan of ground + random walls + the
+    planted boxes.
+
+    Real scans are ring-structured (adjacent azimuth samples land in
+    adjacent fine voxels), which is what sets sparse-conv active-site
+    dilation; uniform surface scatter makes every voxel isolated and
+    inflates level-2/3 site counts ~3x vs real data. Ray casting also
+    gives physically-correct self-occlusion (box far sides are never
+    hit), matching the structure the occ subnet learns from.
+
+    Returns (points (N,4) float32, per-box surface-hit point list).
+    """
+    # 64 beams, +2.0 .. -24.9 deg elevation (HDL-64E); front FOV azimuth
+    n_elev = 64
+    elev = np.radians(np.linspace(2.0, -24.9, n_elev))
+    n_az = max(int(np.ceil(num_points * 1.35 / n_elev)), 64)
+    azim = np.radians(np.linspace(-47.0, 47.0, n_az))
+    E, A = np.meshgrid(elev, azim, indexing="ij")
+    ce, se = np.cos(E.ravel()), np.sin(E.ravel())
+    ca, sa = np.cos(A.ravel()), np.sin(A.ravel())
+    dirs = np.stack([ce * ca, ce * sa, se], axis=1)  # (M, 3)
+    M = dirs.shape[0]
+
+    t_hit = np.full(M, np.inf)
+    hit_box = np.full(M, -1, np.int32)  # >=0: box index, -2: wall, -3: ground
+
+    # ground plane z = -1.73 (sensor at origin, KITTI-like mount height)
+    dz = dirs[:, 2]
+    with np.errstate(divide="ignore"):
+        t_g = np.where(dz < -1e-6, -1.73 / dz, np.inf)
+    upd = t_g < t_hit
+    t_hit, hit_box = np.where(upd, t_g, t_hit), np.where(upd, -3, hit_box)
+
+    # a few building-like walls: vertical rectangles
+    n_walls = 5
+    for _ in range(n_walls):
+        r0 = rng.uniform(12, 55)
+        a0 = rng.uniform(-0.7, 0.7)
+        cx, cy = r0 * np.cos(a0), r0 * np.sin(a0)
+        ang = rng.uniform(0, np.pi)  # wall direction in xy
+        half_len = rng.uniform(4, 12)
+        z_top = rng.uniform(0.5, 3.0)
+        nx_, ny_ = -np.sin(ang), np.cos(ang)  # wall normal
+        denom = dirs[:, 0] * nx_ + dirs[:, 1] * ny_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_w = (cx * nx_ + cy * ny_) / denom
+        px = dirs[:, 0] * t_w - cx
+        py = dirs[:, 1] * t_w - cy
+        u = px * np.cos(ang) + py * np.sin(ang)
+        pz = dirs[:, 2] * t_w
+        ok = (
+            (np.abs(denom) > 1e-6) & (t_w > 2.0)
+            & (np.abs(u) < half_len) & (pz > -1.73) & (pz < z_top)
+        )
+        upd = ok & (t_w < t_hit)
+        t_hit, hit_box = np.where(upd, t_w, t_hit), np.where(upd, -2, hit_box)
+
+    # planted boxes: slab test in each box's local frame
+    for bi, box in enumerate(boxes):
+        c, s = np.cos(box[6]), np.sin(box[6])
+        ox, oy, oz = -box[0], -box[1], -box[2]  # origin relative to center
+        lox = ox * c + oy * s
+        loy = -ox * s + oy * c
+        ldx = dirs[:, 0] * c + dirs[:, 1] * s
+        ldy = -dirs[:, 0] * s + dirs[:, 1] * c
+        ldz = dirs[:, 2]
+        t0 = np.full(M, 2.0)
+        t1 = np.full(M, 80.0)
+        ok = np.ones(M, bool)
+        for lo_, ld_, half in (
+            (lox, ldx, box[3] / 2), (loy, ldy, box[4] / 2), (oz, ldz, box[5] / 2),
+        ):
+            near = np.where(np.abs(ld_) > 1e-8, (-half - lo_) / np.where(np.abs(ld_) > 1e-8, ld_, 1.0), -np.inf)
+            far = np.where(np.abs(ld_) > 1e-8, (half - lo_) / np.where(np.abs(ld_) > 1e-8, ld_, 1.0), np.inf)
+            lo_t = np.minimum(near, far)
+            hi_t = np.maximum(near, far)
+            # rays parallel to slab must start inside it
+            inside = np.abs(lo_) <= half
+            lo_t = np.where(np.abs(ld_) > 1e-8, lo_t, np.where(inside, -np.inf, np.inf))
+            hi_t = np.where(np.abs(ld_) > 1e-8, hi_t, np.where(inside, np.inf, -np.inf))
+            t0 = np.maximum(t0, lo_t)
+            t1 = np.minimum(t1, hi_t)
+        ok &= t0 <= t1
+        upd = ok & (t0 < t_hit)
+        t_hit = np.where(upd, t0, t_hit)
+        hit_box = np.where(upd, bi, hit_box)
+
+    keep = np.isfinite(t_hit) & (t_hit > 2.0) & (t_hit < 75.0)
+    t = t_hit[keep] + rng.randn(int(keep.sum())) * 0.015  # range noise
+    pts3 = dirs[keep] * t[:, None]
+    which = hit_box[keep]
+    inten = np.where(
+        which >= 0, rng.uniform(0.3, 0.9, len(t)), rng.uniform(0.05, 0.5, len(t))
+    )
+    pts = np.concatenate([pts3, inten[:, None]], axis=1).astype(np.float32)
+    per_box = [pts3[which == bi].astype(np.float32) for bi in range(len(boxes))]
+    return pts, per_box
+
+
 def make_synthetic_batch(
     data_cfg,
     batch_size: int = 2,
@@ -58,51 +158,19 @@ def make_synthetic_batch(
     occ_max_vox = int(occ_cfg.MAX_NUMBER_OF_VOXELS[mode]) if use_occ else 0
 
     for b in range(batch_size):
-        # LiDAR-like background: a ground surface plus a few vertical
-        # walls, so voxel-neighborhood statistics resemble real scans
-        # (uniform 3D noise would make every voxel isolated)
-        n_bg = num_points * 3 // 4
-        n_ground = n_bg * 2 // 3
-        gxy = rng.uniform(pcr[:2], pcr[3:5], size=(n_ground, 2))
-        gz = -1.7 + 0.04 * np.sin(gxy[:, 0]) + rng.randn(n_ground) * 0.02
-        ground = np.concatenate([gxy, gz[:, None]], axis=1)
-        n_wall = n_bg - n_ground
-        n_walls = 6
-        per_wall = n_wall // n_walls
-        walls = []
-        for w in range(n_walls):
-            x0 = rng.uniform(pcr[0] + 5, pcr[3] - 5)
-            y0 = rng.uniform(pcr[1] + 5, pcr[4] - 5)
-            ang = rng.uniform(0, np.pi)
-            t = rng.uniform(-4, 4, per_wall)
-            walls.append(np.stack([
-                x0 + t * np.cos(ang) + rng.randn(per_wall) * 0.02,
-                y0 + t * np.sin(ang) + rng.randn(per_wall) * 0.02,
-                rng.uniform(-1.7, 0.8, per_wall),
-            ], axis=1))
-        bg = np.concatenate([ground] + walls, axis=0)[:n_bg]
-        if len(bg) < n_bg:
-            bg = np.concatenate([bg, ground[: n_bg - len(bg)]], axis=0)
-        bg = np.clip(bg, pcr[:3] + 1e-3, pcr[3:6] - 1e-3)
-        pts = np.concatenate([bg, rng.rand(n_bg, 1)], axis=1).astype(np.float32)
-
         boxes = _plant_boxes(rng, num_gt, pcr)
-        # densify box interiors (front-ish half, crude self-occlusion)
-        obj_pts = []
-        per_box = (num_points - n_bg) // max(num_gt, 1)
-        for box in boxes:
-            local = rng.uniform(-0.5, 0.5, size=(per_box, 3)) * box[3:6]
-            local = local[local[:, 0] < 0.25 * box[3]]  # drop far side
-            c, s = np.cos(box[6]), np.sin(box[6])
-            world = np.stack([
-                local[:, 0] * c - local[:, 1] * s + box[0],
-                local[:, 0] * s + local[:, 1] * c + box[1],
-                local[:, 2] + box[2],
-            ], axis=1)
-            obj_pts.append(np.concatenate([world, rng.rand(len(world), 1) * 0.5], axis=1))
-        pts = np.concatenate([pts] + obj_pts, axis=0).astype(np.float32)[:num_points]
-        if len(pts) < num_points:
+        pts, box_pts = _raycast_cloud(rng, boxes, pcr, num_points)
+        # keep points inside the configured range (FOV crop)
+        inside = np.all(
+            (pts[:, :3] >= pcr[:3] + 1e-3) & (pts[:, :3] <= pcr[3:6] - 1e-3), axis=1
+        )
+        pts = pts[inside]
+        if len(pts) >= num_points:
+            sel = rng.choice(len(pts), num_points, replace=False)
+            pts = pts[sel]
+        else:
             pts = np.concatenate([pts, np.zeros((num_points - len(pts), 4), np.float32)])
+        obj_pts = [p for p in box_pts if len(p)]
         pts_list.append(pts)
 
         v, c, n = voxelizer.voxelize_np(

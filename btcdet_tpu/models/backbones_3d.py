@@ -109,11 +109,15 @@ class VoxelBackBone8xOcc(nn.Module):
     axis_name: str | None = None
     # Static per-level output-site capacities for the strided convs
     # (spconv2, spconv3, spconv4, conv_out[, spconv5]). None = inherit the
-    # input capacity (conservative). Stride-2 levels hold far fewer active
-    # sites than level 1, and every rulebook build / gather / BN scales
-    # linearly with capacity, so realistic caps are a large win
-    # (tools/voxel_stats.py measures actual occupancy).
+    # input capacity. Strided sparse convs *dilate* the active set (a
+    # stride-2 3^3 conv can emit ~1.5-2.5x the input sites on LiDAR
+    # data, tools/voxel_stats.py), so too-small caps silently truncate
+    # the highest-key (top-of-grid) sites, while every rulebook build /
+    # gather / BN scales linearly with capacity -- measure, then size
+    # with headroom. `level_caps_eval` overrides at eval time (train and
+    # eval run different voxel budgets).
     level_caps: Sequence[int] | None = None
+    level_caps_eval: Sequence[int] | None = None
 
     def _block(self, c, k=3, s=1, p=0, t="subm", key=None, name=None, act="relu", cap=None):
         return SparseConvBlock(
@@ -122,11 +126,14 @@ class VoxelBackBone8xOcc(nn.Module):
             axis_name=self.axis_name,
         )
 
-    def _cap(self, level: int) -> int | None:
-        if self.level_caps is None or level >= len(self.level_caps):
+    def _cap(self, level: int, train: bool = False, batch_size: int = 1) -> int | None:
+        """Per-frame config capacities scale with the batch (one table
+        holds all frames)."""
+        caps = self.level_caps if (train or self.level_caps_eval is None) else self.level_caps_eval
+        if caps is None or level >= len(caps):
             return None
-        c = self.level_caps[level]
-        return int(c) if c else None
+        c = caps[level]
+        return int(c) * int(batch_size) if c else None
 
     @nn.compact
     def __call__(
@@ -152,7 +159,7 @@ class VoxelBackBone8xOcc(nn.Module):
                 x = x.replace(features=x.features * att.features + x.features)
         x_conv1 = self._block(ch[0], 3, p=1, key="subm1", name="conv1_combine")(x, cache, train)
 
-        x_conv2 = self._block(ch[1], 3, s=2, p=1, t="spconv", key="spconv2", name="conv2", cap=self._cap(0))(x_conv1, cache, train)
+        x_conv2 = self._block(ch[1], 3, s=2, p=1, t="spconv", key="spconv2", name="conv2", cap=self._cap(0, train, st.batch_size))(x_conv1, cache, train)
         x_occ = occ_st
         if occ_st is not None and len(exec_) > 1:
             x_occ = self._occ_down(1)(occ_st, cache, train) if self.occ_conv_type[1] != "identity" else occ_st
@@ -166,7 +173,7 @@ class VoxelBackBone8xOcc(nn.Module):
         x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_0")(x_conv2, cache, train)
         x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_1")(x_conv2, cache, train)
 
-        x_conv3 = self._block(ch[2], 3, s=2, p=1, t="spconv", key="spconv3", name="conv3", cap=self._cap(1))(x_conv2, cache, train)
+        x_conv3 = self._block(ch[2], 3, s=2, p=1, t="spconv", key="spconv3", name="conv3", cap=self._cap(1, train, st.batch_size))(x_conv2, cache, train)
         if occ_st is not None and len(exec_) > 2:
             x_occ = self._occ_down(2)(x_occ, cache, train)
             if exec_[2]:
@@ -176,7 +183,7 @@ class VoxelBackBone8xOcc(nn.Module):
         x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_0")(x_conv3, cache, train)
         x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_1")(x_conv3, cache, train)
 
-        x_conv4 = self._block(ch[3], 3, s=2, p=(0, 1, 1), t="spconv", key="spconv4", name="conv4", cap=self._cap(2))(x_conv3, cache, train)
+        x_conv4 = self._block(ch[3], 3, s=2, p=(0, 1, 1), t="spconv", key="spconv4", name="conv4", cap=self._cap(2, train, st.batch_size))(x_conv3, cache, train)
         if occ_st is not None and len(exec_) > 3:
             x_occ = self._occ_down(3)(x_occ, cache, train)
             if exec_[3]:
@@ -187,7 +194,7 @@ class VoxelBackBone8xOcc(nn.Module):
         x_conv4 = self._block(ch[3], 3, p=1, key="subm4", name="conv4_combine_1")(x_conv4, cache, train)
 
         # [5, 200, 176] -> [2, 200, 176], stride 8 output for the BEV head
-        out = self._block(ch[4], (3, 1, 1), s=(2, 1, 1), p=0, t="spconv", key="spconv_down2", name="conv_out", cap=self._cap(3))(x_conv4, cache, train)
+        out = self._block(ch[4], (3, 1, 1), s=(2, 1, 1), p=0, t="spconv", key="spconv_down2", name="conv_out", cap=self._cap(3, train, st.batch_size))(x_conv4, cache, train)
 
         x_combine = self._res_combine(x_conv2, x_conv3, x_conv4, out, cache, train)
 
@@ -253,7 +260,7 @@ class VoxelBackBone8xOcc(nn.Module):
             return x
         if comb == "combine":
             x = self._block(ch[3] * 2, 3, p=1, key="subm4", name="down_combine_0")(x, cache, train)
-            x = self._block(ch[3] * 2, 3, s=(1, 2, 2), p=1, t="spconv", key="spconv5", name="down_combine_1", cap=self._cap(4))(x, cache, train)
+            x = self._block(ch[3] * 2, 3, s=(1, 2, 2), p=1, t="spconv", key="spconv5", name="down_combine_1", cap=self._cap(4, train, st.batch_size))(x, cache, train)
             x = self._block(ch[3] * 2, 3, p=1, key="subm5", name="down_combine_2")(x, cache, train)
             return x
         raise NotImplementedError(comb)

@@ -47,6 +47,17 @@ class BtcNet(nn.Module):
     num_point_features: int = 4
     axis_name: str | None = None
 
+    @staticmethod
+    def _level_caps(bb_cfg, mode: str):
+        """BACKBONE_3D.LEVEL_CAPACITIES: flat list (shared) or
+        {train: [...], test: [...]} per-mode static site capacities."""
+        lc = bb_cfg.get("LEVEL_CAPACITIES")
+        if not lc:
+            return None
+        if hasattr(lc, "get") and not isinstance(lc, (list, tuple)):
+            lc = lc.get(mode)
+        return tuple(int(c) for c in lc) if lc else None
+
     def setup(self):
         mc = self.model_cfg
         self.use_occ = mc.get("OCC", None) is not None
@@ -77,7 +88,8 @@ class BtcNet(nn.Module):
             occ_conv_exec=tuple(bb.get("OCC_CONV_EXECUTE", [])),
             out_feat_type=tuple(bb.get("OUT_FEAT_TYPE", ["None"] * 4 + ["big_bev_combine"])),
             out_att=tuple(bb.get("OCC_ATT", [False] * 4)),
-            level_caps=tuple(bb["LEVEL_CAPACITIES"]) if bb.get("LEVEL_CAPACITIES") else None,
+            level_caps=self._level_caps(bb, "train"),
+            level_caps_eval=self._level_caps(bb, "test"),
             axis_name=self.axis_name,
             name="det_backbone_3d",
         )

@@ -65,7 +65,23 @@ class OccSubnet(nn.Module):
             input_channels=4, axis_name=self.axis_name, name="backbone_3d"
         )
         cls_ch = 2 if self.is_softmax else 1
-        self.conv_cls = nn.Conv(cls_ch, (3, 3, 3), padding=1, use_bias=True, name="conv_cls")
+        # focal-style prior init (RetinaNet, pi=0.01): the occupied logit
+        # starts ~logit(0.01) so an untrained net predicts *sparse*
+        # occupancy -- matching trained behavior (and the det head's own
+        # bias init) instead of flooding PassOccVox with ~0.5-prob noise.
+        # The reference leaves torch's default init here; this changes
+        # nothing once trained.
+        prior = float(self.model_cfg.OCC_DENSE_HEAD.get("PRIOR_PROB", 0.01))
+        prior_logit = float(np.log(prior / (1.0 - prior)))
+
+        def cls_bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            return b.at[-1].set(prior_logit)  # last channel = occupied
+
+        self.conv_cls = nn.Conv(
+            cls_ch, (3, 3, 3), padding=1, use_bias=True,
+            bias_init=cls_bias_init, name="conv_cls",
+        )
         if self.reg:
             self.conv_res = nn.Conv(
                 self.res_num_dim, (3, 3, 3), padding=1, use_bias=False, name="conv_res"

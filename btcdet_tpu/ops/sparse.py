@@ -172,8 +172,10 @@ def lookup_in(st: "SparseTensor", queries: jax.Array) -> tuple[jax.Array, jax.Ar
     if total > DENSE_LOOKUP_MAX_CELLS:
         return lookup(st.keys, queries)
     scat = jnp.where(st.valid, st.keys, total)
+    # padding rows all target the sentinel slot; write -1 there so the
+    # winner never marks garbage queries as found
     table = jnp.full((total + 1,), -1, jnp.int32).at[scat].set(
-        jnp.arange(st.capacity, dtype=jnp.int32)
+        jnp.where(st.valid, jnp.arange(st.capacity, dtype=jnp.int32), -1)
     )
     q = jnp.clip(queries, 0, total)  # INT32_MAX padding -> sentinel row
     idx = table[q]
@@ -227,6 +229,210 @@ def subm_rulebook(st: SparseTensor, kernel_size) -> tuple[jax.Array, jax.Array]:
     idx, found = lookup_in(st, qkeys)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
+
+
+# ---------------------------------------------------------------------
+# Grouped (x-consecutive) rulebooks.
+#
+# For a 3x3x3 kernel the three x-taps of one (dz, dy) pair query keys
+# q, q+1, q+2 -- consecutive integers. In the key-sorted voxel table the
+# present members of such a run occupy *consecutive rows*, so:
+#   * rulebook build needs one lookup per (dz, dy) group (9 instead of 27
+#     queries per output site), and
+#   * rule application fetches one contiguous kx-row slice per group
+#     (lax.gather slice_sizes=(kx, C)): 3x fewer gather transactions,
+#     which is what TPU gathers are bound by (~9ns per transaction).
+# Used by SubMConv3d and strided SparseConv3d when the kernel's x extent
+# is 3 (every trunk conv in both backbones).
+# ---------------------------------------------------------------------
+
+# Measured on v5e: lax.gather with multi-row slice_sizes lowers to a
+# ~70x-slower path than plain row gathers, and row-gather cost is not
+# reduced by fetching fewer/wider rows (tools/microbench_gather.py), so
+# the grouped fast path is DISABLED by default; the machinery and its
+# correctness tests are kept as the record of the investigated design.
+GROUPED_X_GATHER = False
+
+
+def _grouped_lookup(in_st: SparseTensor, qkey0: jax.Array, kx: int):
+    """Find the table rows holding keys qkey0+j (j < kx).
+
+    qkey0: (G, M) int32 linear key of each group's first x-tap (computed
+    arithmetically; may be out of range -- caller masks with in-bounds).
+    Returns (starts (G, M) int32, pos (G, kx, M) int32, found (G, kx, M)
+    bool): present taps live at feature rows starts + pos[j].
+    """
+    G, M = qkey0.shape
+    nz, ny, nx = in_st.spatial_shape
+    total = in_st.batch_size * nz * ny * nx
+
+    if total <= DENSE_LOOKUP_MAX_CELLS:
+        # table covers cells [-kx, total + kx) (shifted by kx) so slices
+        # that straddle the grid ends stay in bounds; the extra dead slot
+        # at the end absorbs padding rows.
+        tsize = total + 2 * kx + 1
+        scat = jnp.where(in_st.valid, in_st.keys + kx, tsize - 1)
+        table = jnp.full((tsize,), -1, jnp.int32).at[scat].set(
+            jnp.arange(in_st.capacity, dtype=jnp.int32)
+        )
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,),
+        )
+        # clip keeps garbage queries (overflowed padding keys) in range;
+        # their hits are discarded by the callers' in-bounds masks.
+        start_q = jnp.clip(qkey0 + kx, 0, tsize - kx)
+        rows = jax.lax.gather(
+            table, start_q.reshape(G * M, 1), dimension_numbers=dn,
+            slice_sizes=(kx,), mode="clip",
+        ).reshape(G, M, kx)  # rows[g, m, j] = feature row of key qkey0+j, or -1
+        rows = rows.transpose(0, 2, 1)  # (G, kx, M)
+        found = rows >= 0
+        big = jnp.int32(2**30)
+        starts = jnp.min(jnp.where(found, rows, big), axis=1)  # (G, M)
+        starts = jnp.where(starts == big, 0, starts)
+        pos = jnp.clip(rows - starts[:, None, :], 0, kx - 1)
+        return starts, pos, found
+
+    # sorted-search path: one searchsorted per group; present members of
+    # the integer run occupy consecutive rows starting at the insertion
+    # point of the first tap.
+    r0 = jnp.searchsorted(
+        in_st.keys, qkey0.reshape(-1), method="sort"
+    ).astype(jnp.int32)
+    r0 = jnp.clip(r0, 0, in_st.capacity - 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,),
+    )
+    # pad the key table so a slice starting at the last row stays aligned
+    keys_pad = jnp.concatenate(
+        [in_st.keys, jnp.full((kx,), INT32_MAX, in_st.keys.dtype)]
+    )
+    kslice = jax.lax.gather(
+        keys_pad, r0[:, None], dimension_numbers=dn, slice_sizes=(kx,),
+        mode="clip",
+    ).reshape(G, M, kx)
+    q0 = qkey0
+    founds = []
+    poss = []
+    run = jnp.zeros((G, M), jnp.int32)  # taps found so far = slice position
+    for j in range(kx):
+        kj = jnp.take_along_axis(kslice, run[..., None], axis=2)[..., 0]
+        fj = kj == (q0 + j)
+        founds.append(fj)
+        poss.append(run)
+        run = run + fj.astype(jnp.int32)
+    starts = r0.reshape(G, M)
+    pos = jnp.stack(poss, axis=1)
+    found = jnp.stack(founds, axis=1)
+    return starts, pos, found
+
+
+def subm_rulebook_grouped(st: SparseTensor, kernel_size):
+    """Grouped submanifold rulebook. Requires kx == 3 (or any kx; taps
+    along x are consecutive by construction). Returns
+    (starts (G, N), pos (K, N), found (K, N)) with groups ordered like
+    `_kernel_offsets` rows (z-major, then y, then x)."""
+    kz, ky, kx = _triple(kernel_size)
+    nz, ny, nx = st.spatial_shape
+    K = kz * ky * kx
+    G = kz * ky
+    N = st.capacity
+    cz, cy, cx = kz // 2, ky // 2, kx // 2
+
+    zyx = st.coords[:, 1:4]
+    dzy = np.array(
+        [(dz - cz, dy - cy) for dz in range(kz) for dy in range(ky)], np.int32
+    )  # (G, 2)
+    # arithmetic key of each group's first x-tap
+    delta = (dzy[:, 0].astype(np.int64) * ny + dzy[:, 1]) * nx - cx
+    qkey0 = st.keys[None, :] + jnp.asarray(delta, jnp.int32)[:, None]  # (G, N)
+
+    starts, pos, found = _grouped_lookup(st, qkey0, kx)
+
+    # in-bounds masks per tap
+    z = zyx[:, 0][None, :] + jnp.asarray(dzy[:, 0])[:, None]
+    y = zyx[:, 1][None, :] + jnp.asarray(dzy[:, 1])[:, None]
+    inb_zy = (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & st.valid[None, :]
+    xs = zyx[:, 2][None, None, :] + (
+        jnp.arange(kx, dtype=jnp.int32) - cx
+    )[None, :, None]  # (1, kx, N)
+    inb = inb_zy[:, None, :] & (xs >= 0) & (xs < nx)
+    found = found & inb
+    return starts, pos.reshape(K, N), found.reshape(K, N)
+
+
+def conv_rulebook_grouped(
+    in_st: SparseTensor, out_coords: jax.Array, out_valid: jax.Array,
+    kernel_size, stride, padding,
+):
+    """Grouped gather rulebook for a strided conv (in = out*s - p + off);
+    the kx x-taps hit consecutive input keys for any stride."""
+    k, s, p = _triple(kernel_size), _triple(stride), _triple(padding)
+    kz, ky, kx = k
+    nz, ny, nx = in_st.spatial_shape
+    K = kz * ky * kx
+    G = kz * ky
+    M = out_coords.shape[0]
+
+    in_z0 = out_coords[:, 1] * s[0] - p[0]
+    in_y0 = out_coords[:, 2] * s[1] - p[1]
+    in_x0 = out_coords[:, 3] * s[2] - p[2]
+    dzy = np.array([(dz, dy) for dz in range(kz) for dy in range(ky)], np.int32)
+    z = in_z0[None, :] + jnp.asarray(dzy[:, 0])[:, None]  # (G, M)
+    y = in_y0[None, :] + jnp.asarray(dzy[:, 1])[:, None]
+    b = out_coords[:, 0][None, :]
+    # arithmetic linear key of the first x-tap (may be out of range)
+    qkey0 = (((b * nz + z) * ny + y) * nx + in_x0[None, :]).astype(jnp.int32)
+
+    starts, pos, found = _grouped_lookup(in_st, qkey0, kx)
+
+    inb_zy = (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & out_valid[None, :]
+    xs = in_x0[None, None, :] + jnp.arange(kx, dtype=jnp.int32)[None, :, None]
+    inb = inb_zy[:, None, :] & (xs >= 0) & (xs < nx)
+    found = found & inb
+    return starts, pos.reshape(K, M), found.reshape(K, M)
+
+
+def apply_rulebook_matmul_grouped(
+    features: jax.Array, starts: jax.Array, pos: jax.Array, found: jax.Array,
+    weights: jax.Array,
+) -> jax.Array:
+    """Grouped-slice version of `apply_rulebook_matmul`.
+
+    features (N, Cin); starts (G, M); pos/found (K, M) with K = G*kx;
+    weights (K, Cin, Cout). Fetches one contiguous kx-row slice per
+    (group, output) and routes slice rows to kernel taps via `pos`.
+    """
+    G, M = starts.shape
+    K = weights.shape[0]
+    kx = K // G
+    C = features.shape[1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,),
+    )
+    # pad so a slice starting at the last feature row stays aligned
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((kx, C), features.dtype)], axis=0
+    )
+    starts_c = jnp.clip(starts, 0, features.shape[0])
+    S = jax.lax.gather(
+        feats_pad, starts_c[..., None], dimension_numbers=dn,
+        slice_sizes=(kx, C), mode="clip",
+    )  # (G, M, kx, C)
+    pos_g = pos.reshape(G, kx, M)
+    found_g = found.reshape(G, kx, M)
+    # route slice row pos[j] to tap j: one-hot over the kx slice rows
+    onehot = (
+        (pos_g[:, :, :, None] == jnp.arange(kx, dtype=pos.dtype))
+        & found_g[:, :, :, None]
+    ).astype(features.dtype)  # (G, kx_tap, M, kx_row)
+    contrib = jnp.einsum("gjmr,gmrc->gjmc", onehot, S)  # (G, kx, M, C)
+    return jax.lax.dot_general(
+        contrib.reshape(K, M, C),
+        weights,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).sum(axis=0)
 
 
 def _unique_capped(
@@ -432,7 +638,105 @@ def apply_rulebook_max(
     return jnp.where(any_found[:, None], out, 0.0)
 
 
+def apply_rulebook_sum_grouped(
+    features: jax.Array, starts: jax.Array, pos: jax.Array, found: jax.Array
+) -> jax.Array:
+    """Grouped-slice neighbor sum (constant-weight conv)."""
+    G, M = starts.shape
+    K = found.shape[0]
+    kx = K // G
+    C = features.shape[1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,),
+    )
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((kx, C), features.dtype)], axis=0
+    )
+    starts_c = jnp.clip(starts, 0, features.shape[0])
+    S = jax.lax.gather(
+        feats_pad, starts_c[..., None], dimension_numbers=dn,
+        slice_sizes=(kx, C), mode="clip",
+    )  # (G, M, kx, C)
+    pos_g = pos.reshape(G, kx, M)
+    found_g = found.reshape(G, kx, M)
+    row_used = jnp.zeros((G, M, kx), features.dtype)
+    for j in range(kx):
+        row_used = row_used + (
+            (pos_g[:, j, :, None] == jnp.arange(kx)) & found_g[:, j, :, None]
+        ).astype(features.dtype)
+    return jnp.einsum("gmr,gmrc->mc", row_used, S)
+
+
+def apply_rulebook_max_grouped(
+    features: jax.Array, starts: jax.Array, pos: jax.Array, found: jax.Array
+) -> jax.Array:
+    """Grouped-slice max-pool (see apply_rulebook_matmul_grouped). Since
+    max is permutation-invariant, slice rows need no tap routing -- any
+    slice row whose tap is found participates."""
+    G, M = starts.shape
+    K = found.shape[0]
+    kx = K // G
+    C = features.shape[1]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,),
+    )
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((kx, C), features.dtype)], axis=0
+    )
+    starts_c = jnp.clip(starts, 0, features.shape[0])
+    S = jax.lax.gather(
+        feats_pad, starts_c[..., None], dimension_numbers=dn,
+        slice_sizes=(kx, C), mode="clip",
+    )  # (G, M, kx, C)
+    pos_g = pos.reshape(G, kx, M)
+    found_g = found.reshape(G, kx, M)
+    # slice row r participates iff some found tap maps to it
+    row_used = jnp.zeros((G, M, kx), bool)
+    for j in range(kx):
+        row_used = row_used | (
+            (pos_g[:, j, :, None] == jnp.arange(kx)) & found_g[:, j, :, None]
+        )
+    neg = jnp.finfo(features.dtype).min
+    S = jnp.where(row_used[..., None], S, neg)
+    out = jnp.max(S, axis=2)  # (G, M, C)
+    out = jnp.max(out, axis=0)  # (M, C)
+    any_found = jnp.any(found, axis=0)
+    return jnp.where(any_found[:, None], out, 0.0)
+
+
 # --------------------------------------------------------------- modules
+
+
+def _use_grouped(kernel_size) -> bool:
+    return GROUPED_X_GATHER and _triple(kernel_size)[2] == 3
+
+
+def _get_sites(cache, key, st, kernel_size, stride, padding, cap):
+    """Output-site set of a strided conv, cached under ("sites", key)
+    with the pre-conv coords recorded for SparseInverseConv3d."""
+    ck = ("sites", key)
+    if cache is not None and key and ck in cache:
+        return cache[ck]
+    sites = conv_output_sites(st, kernel_size, stride, padding, cap)
+    if cache is not None and key:
+        cache[ck] = sites
+        cache[("pre", key)] = (st.keys, st.coords, st.nnz, st.spatial_shape)
+    return sites
+
+
+def _get_conv_rulebook(cache, key, st, out_coords, out_valid,
+                       kernel_size, stride, padding, grouped):
+    ck = ("rb_g" if grouped else "rb", key)
+    if cache is not None and key and ck in cache:
+        return cache[ck]
+    if grouped:
+        rb = conv_rulebook_grouped(
+            st, out_coords, out_valid, kernel_size, stride, padding)
+    else:
+        rb = conv_rulebook(st, out_coords, out_valid, kernel_size, stride, padding)
+    if cache is not None and key:
+        cache[ck] = rb
+    return rb
 
 
 class SubMConv3d(nn.Module):
@@ -452,14 +756,21 @@ class SubMConv3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (K, cin, self.out_channels),
         )
-        rb_key = ("subm", self.indice_key)
+        grouped = _use_grouped(self.kernel_size)
+        rb_key = ("subm_g" if grouped else "subm", self.indice_key)
         if cache is not None and self.indice_key and rb_key in cache:
-            in_idx, found = cache[rb_key]
+            rb = cache[rb_key]
         else:
-            in_idx, found = subm_rulebook(st, self.kernel_size)
+            rb = (subm_rulebook_grouped if grouped else subm_rulebook)(
+                st, self.kernel_size)
             if cache is not None and self.indice_key:
-                cache[rb_key] = (in_idx, found)
-        out = apply_rulebook_matmul(st.features, in_idx, found, w)
+                cache[rb_key] = rb
+        if grouped:
+            starts, pos, found = rb
+            out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
+        else:
+            in_idx, found = rb
+            out = apply_rulebook_matmul(st.features, in_idx, found, w)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + b
@@ -489,23 +800,21 @@ class SparseConv3d(nn.Module):
             (K, cin, self.out_channels),
         )
         cap = self.out_capacity or st.capacity
-        site_key = ("sites", self.indice_key)
-        if cache is not None and self.indice_key and site_key in cache:
-            keys, coords, nnz, out_shape, in_idx, found = cache[site_key]
+        keys, coords, nnz, out_shape = _get_sites(
+            cache, self.indice_key, st, self.kernel_size, self.stride,
+            self.padding, cap,
+        )
+        grouped = _use_grouped(self.kernel_size)
+        rb = _get_conv_rulebook(
+            cache, self.indice_key, st, coords, keys != INT32_MAX,
+            self.kernel_size, self.stride, self.padding, grouped,
+        )
+        if grouped:
+            starts, pos, found = rb
+            out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
         else:
-            keys, coords, nnz, out_shape = conv_output_sites(
-                st, self.kernel_size, self.stride, self.padding, cap
-            )
-            in_idx, found = conv_rulebook(
-                st, coords, keys != INT32_MAX, self.kernel_size, self.stride, self.padding
-            )
-            if cache is not None and self.indice_key:
-                # record fine-grid coords for the inverse conv
-                cache[site_key] = (keys, coords, nnz, out_shape, in_idx, found)
-                cache[("pre", self.indice_key)] = (
-                    st.keys, st.coords, st.nnz, st.spatial_shape,
-                )
-        out = apply_rulebook_matmul(st.features, in_idx, found, w)
+            in_idx, found = rb
+            out = apply_rulebook_matmul(st.features, in_idx, found, w)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + b
@@ -622,22 +931,21 @@ class SparseMaxPool3d(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, cache: dict | None = None) -> SparseTensor:
         cap = self.out_capacity or st.capacity
-        site_key = ("sites", self.indice_key)
-        if cache is not None and self.indice_key and site_key in cache:
-            keys, coords, nnz, out_shape, in_idx, found = cache[site_key]
+        keys, coords, nnz, out_shape = _get_sites(
+            cache, self.indice_key, st, self.kernel_size, self.stride,
+            self.padding, cap,
+        )
+        grouped = _use_grouped(self.kernel_size)
+        rb = _get_conv_rulebook(
+            cache, self.indice_key, st, coords, keys != INT32_MAX,
+            self.kernel_size, self.stride, self.padding, grouped,
+        )
+        if grouped:
+            starts, pos, found = rb
+            out = apply_rulebook_max_grouped(st.features, starts, pos, found)
         else:
-            keys, coords, nnz, out_shape = conv_output_sites(
-                st, self.kernel_size, self.stride, self.padding, cap
-            )
-            in_idx, found = conv_rulebook(
-                st, coords, keys != INT32_MAX, self.kernel_size, self.stride, self.padding
-            )
-            if cache is not None and self.indice_key:
-                cache[site_key] = (keys, coords, nnz, out_shape, in_idx, found)
-                cache[("pre", self.indice_key)] = (
-                    st.keys, st.coords, st.nnz, st.spatial_shape,
-                )
-        out = apply_rulebook_max(st.features, in_idx, found)
+            in_idx, found = rb
+            out = apply_rulebook_max(st.features, in_idx, found)
         return SparseTensor(
             features=out,
             coords=coords,
@@ -662,21 +970,24 @@ class FixedSparseConv3d(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, cache: dict | None = None) -> SparseTensor:
         cap = self.out_capacity or st.capacity
-        site_key = ("sites", self.indice_key)
-        if cache is not None and self.indice_key and site_key in cache:
-            keys, coords, nnz, out_shape, in_idx, found = cache[site_key]
+        keys, coords, nnz, out_shape = _get_sites(
+            cache, self.indice_key, st, self.kernel_size, self.stride,
+            self.padding, cap,
+        )
+        grouped = _use_grouped(self.kernel_size)
+        rb = _get_conv_rulebook(
+            cache, self.indice_key, st, coords, keys != INT32_MAX,
+            self.kernel_size, self.stride, self.padding, grouped,
+        )
+        if grouped:
+            starts, pos, found = rb
+            out = apply_rulebook_sum_grouped(
+                st.features, starts, pos, found) * self.default_value
         else:
-            keys, coords, nnz, out_shape = conv_output_sites(
-                st, self.kernel_size, self.stride, self.padding, cap
-            )
-            in_idx, found = conv_rulebook(
-                st, coords, keys != INT32_MAX, self.kernel_size, self.stride, self.padding
-            )
-            if cache is not None and self.indice_key:
-                cache[site_key] = (keys, coords, nnz, out_shape, in_idx, found)
-        gathered = st.features[in_idx]
-        gathered = jnp.where(found[..., None], gathered, 0.0)
-        out = gathered.sum(axis=0) * self.default_value
+            in_idx, found = rb
+            gathered = st.features[in_idx]
+            gathered = jnp.where(found[..., None], gathered, 0.0)
+            out = gathered.sum(axis=0) * self.default_value
         return SparseTensor(
             features=out,
             coords=coords,

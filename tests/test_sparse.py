@@ -217,3 +217,74 @@ def test_masked_batchnorm():
         np.asarray(mutated["batch_stats"]["mean"]),
         0.1 * x[:20].mean(0), rtol=1e-4, atol=1e-5,
     )
+
+
+class TestGroupedRulebooks:
+    """Grouped (x-consecutive slice) rulebooks must reproduce the
+    original per-offset rulebooks exactly."""
+
+    def _rand_st(self, seed, shape=(7, 11, 13), B=2, cap=96, nnz=70):
+        rng = np.random.RandomState(seed)
+        nz, ny, nx = shape
+        coords = np.stack([
+            rng.randint(0, B, nnz), rng.randint(0, nz, nnz),
+            rng.randint(0, ny, nnz), rng.randint(0, nx, nnz),
+        ], axis=1).astype(np.int32)
+        coords = np.unique(coords, axis=0)
+        pad = np.full((cap - len(coords), 4), -1, np.int32)
+        coords = np.concatenate([coords, pad])
+        feats = rng.randn(cap, 8).astype(np.float32)
+        feats[coords[:, 0] < 0] = 0
+        return sparse.from_coords(jnp.asarray(feats), jnp.asarray(coords), shape, B)
+
+    def test_subm_grouped_matches(self):
+        for seed in range(3):
+            st = self._rand_st(seed)
+            w = jnp.asarray(np.random.RandomState(99).randn(27, 8, 6).astype(np.float32))
+            in_idx, found = sparse.subm_rulebook(st, 3)
+            ref = sparse.apply_rulebook_matmul(st.features, in_idx, found, w)
+            starts, pos, found_g = sparse.subm_rulebook_grouped(st, 3)
+            out = sparse.apply_rulebook_matmul_grouped(st.features, starts, pos, found_g, w)
+            assert np.asarray(found_g).sum() == np.asarray(found).sum()
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+    def test_conv_grouped_matches(self):
+        for seed in range(3):
+            st = self._rand_st(seed + 10)
+            keys, coords, nnz, out_shape = sparse.conv_output_sites(st, 3, 2, 1, st.capacity)
+            valid = keys != sparse.INT32_MAX
+            w = jnp.asarray(np.random.RandomState(7).randn(27, 8, 5).astype(np.float32))
+            in_idx, found = sparse.conv_rulebook(st, coords, valid, 3, 2, 1)
+            ref = sparse.apply_rulebook_matmul(st.features, in_idx, found, w)
+            starts, pos, found_g = sparse.conv_rulebook_grouped(st, coords, valid, 3, 2, 1)
+            out = sparse.apply_rulebook_matmul_grouped(st.features, starts, pos, found_g, w)
+            assert np.asarray(found_g).sum() == np.asarray(found).sum()
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5)
+
+    def test_grouped_max_and_sum_match(self):
+        st = self._rand_st(42)
+        keys, coords, nnz, out_shape = sparse.conv_output_sites(st, 3, 2, 1, st.capacity)
+        valid = keys != sparse.INT32_MAX
+        in_idx, found = sparse.conv_rulebook(st, coords, valid, 3, 2, 1)
+        starts, pos, found_g = sparse.conv_rulebook_grouped(st, coords, valid, 3, 2, 1)
+        ref_max = sparse.apply_rulebook_max(st.features, in_idx, found)
+        out_max = sparse.apply_rulebook_max_grouped(st.features, starts, pos, found_g)
+        np.testing.assert_allclose(np.asarray(ref_max), np.asarray(out_max), rtol=1e-5, atol=1e-5)
+        gathered = st.features[in_idx]
+        gathered = jnp.where(found[..., None], gathered, 0.0)
+        ref_sum = gathered.sum(axis=0)
+        out_sum = sparse.apply_rulebook_sum_grouped(st.features, starts, pos, found_g)
+        np.testing.assert_allclose(np.asarray(ref_sum), np.asarray(out_sum), rtol=1e-4, atol=1e-5)
+
+    def test_grouped_sorted_path_matches_dense(self, monkeypatch):
+        """Force the sorted-search branch and compare to the dense-table
+        branch."""
+        st = self._rand_st(5)
+        w = jnp.asarray(np.random.RandomState(3).randn(27, 8, 4).astype(np.float32))
+        starts_d, pos_d, found_d = sparse.subm_rulebook_grouped(st, 3)
+        out_d = sparse.apply_rulebook_matmul_grouped(st.features, starts_d, pos_d, found_d, w)
+        monkeypatch.setattr(sparse, "DENSE_LOOKUP_MAX_CELLS", 0)
+        starts_s, pos_s, found_s = sparse.subm_rulebook_grouped(st, 3)
+        out_s = sparse.apply_rulebook_matmul_grouped(st.features, starts_s, pos_s, found_s, w)
+        assert np.asarray(found_s).sum() == np.asarray(found_d).sum()
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s), rtol=1e-5, atol=1e-5)

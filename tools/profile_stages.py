@@ -60,6 +60,30 @@ def main(mode="test"):
 
     timeit("occ subnet (+merge)", occ_only, variables, batch, iters=3)
 
+    # occ subnet sub-stage: target/mask generation alone
+    from btcdet_tpu.utils import coords as coords_utils
+
+    @jax.jit
+    def occ_targets_only(v, b):
+        def run(m, bb, train):
+            o = m.occ
+            spec = o.spec
+            voxels = bb["occ_voxels"]; vcoords = bb["occ_voxel_coords"]
+            vnum = bb["occ_voxel_num_points"]
+            gt_boxes = bb["gt_boxes"]
+            B = gt_boxes.shape[0]
+            rot_z = bb.get("rot_z", jnp.zeros((B,), jnp.float32))
+            mirr = bb.get("box_mirr_flag", jnp.ones(gt_boxes.shape[:2], jnp.float32))
+            slot = (jnp.arange(voxels.shape[1])[None, :] < vnum[:, None]) & (vcoords[:, :1] >= 0)
+            pts_abs = coords_utils.occ_uvd_to_absxyz(
+                voxels[..., 0], voxels[..., 1], voxels[..., 2], spec.coord_type)
+            occ_pnts = jnp.concatenate([pts_abs, voxels[..., 3:]], axis=-1)
+            tgt = o._make_targets(occ_pnts, slot, vcoords, gt_boxes, mirr, bb, rot_z, B, train)
+            return tgt["general_cls_loss_mask"]
+        return net.apply(v, b, train=False, method=run)
+
+    timeit("occ targets only", occ_targets_only, variables, batch, iters=3)
+
     # det path from merged voxels: emulate with raw det voxels (no occ)
     nz, ny, nx = net.det_grid_size[2], net.det_grid_size[1], net.det_grid_size[0]
 
@@ -78,6 +102,67 @@ def main(mode="test"):
     pad = jnp.zeros(batch["det_voxels"].shape[:-1] + (2,), jnp.float32)
     b2["det_voxels"] = jnp.concatenate([batch["det_voxels"], pad], axis=-1)
     timeit("det 3D backbone (raw vox)", det_backbone, variables, b2, iters=3)
+
+    # --- split rulebook construction vs gather-GEMM compute -------------
+    def _run_backbone(m, b, train, cache):
+        vfeat, occ_code = m.det_vfe(b["det_voxels"], b["det_voxel_num_points"])
+        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
+        out = m.backbone_3d(st, occ_code, train=train, cache=cache)
+        return out["encoded"].features
+
+    static_store = {}  # name -> (static vals, is_array mask); filled at trace time
+
+    def _is_arr(x):
+        return hasattr(x, "dtype")
+
+    @jax.jit
+    def build_cache(v, b):
+        cache = {}
+
+        def run(m, bb, train):
+            _ = _run_backbone(m, bb, train, cache)
+            out = {}
+            for k, vals in cache.items():
+                if not isinstance(vals, tuple):
+                    vals = tuple(vals)
+                name = "|".join(k)
+                static_store[name] = (
+                    tuple(x for x in vals if not _is_arr(x)),
+                    tuple(_is_arr(x) for x in vals),
+                )
+                out[name] = tuple(x for x in vals if _is_arr(x))
+            return out
+
+        return net.apply(v, b, train=False, method=run)
+
+    arrs = build_cache(variables, b2)
+    _ = jax.device_get(jax.tree_util.tree_leaves(arrs)[0])
+
+    def rebuild_cache(arrs):
+        cache = {}
+        for name, avals in arrs.items():
+            stat, mask = static_store[name]
+            ai, si, merged = 0, 0, []
+            for is_a in mask:
+                if is_a:
+                    merged.append(avals[ai]); ai += 1
+                else:
+                    merged.append(stat[si]); si += 1
+            cache[tuple(name.split("|"))] = tuple(merged)
+        return cache
+
+    def timed_build(v, b):
+        return build_cache(v, b)
+
+    timeit("det rulebooks only (build_cache)", timed_build, variables, b2, iters=3)
+
+    @jax.jit
+    def apply_only(v, b, arrs):
+        def run(m, bb, train):
+            return _run_backbone(m, bb, train, rebuild_cache(arrs))
+        return net.apply(v, b, train=False, method=run)
+
+    timeit("det backbone compute-only", apply_only, variables, b2, arrs, iters=3)
 
     @jax.jit
     def rulebook_only(b):

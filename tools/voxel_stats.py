@@ -36,6 +36,8 @@ def main(n_frames=8, mode="test", caps=None):
     variables = jax.jit(lambda r, b: net.init(r, b, train=False))(rngs, batch0)
     print("params ready", flush=True)
 
+    is_train = mode == "train"
+
     @jax.jit
     def probe(v, b):
         def run(m, bb, train):
@@ -66,6 +68,13 @@ def main(n_frames=8, mode="test", caps=None):
                     "out": r["encoded"].capacity,
                 },
             }
+        if is_train:
+            out, _ = net.apply(
+                v, b, train=True, method=run, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "sampling": jax.random.PRNGKey(4)},
+            )
+            return out
         return net.apply(v, b, train=False, method=run)
 
     stats = {}
