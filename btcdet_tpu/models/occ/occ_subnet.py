@@ -18,6 +18,7 @@ switches at eval. Replicated deliberately (SURVEY.md §7.2b).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -379,12 +380,6 @@ class OccSubnet(nn.Module):
         Nd, Pd, Cd = det_voxels.shape
         per_frame_vox = Nd // B
 
-        det_slot = (jnp.arange(Pd)[None, :] < det_num[:, None]) & (det_coords[:, :1] >= 0)
-        det_pts = det_voxels.reshape(B, per_frame_vox * Pd, Cd)
-        det_ok = det_slot.reshape(B, per_frame_vox * Pd)
-        zeros = jnp.zeros(det_pts.shape[:-1] + (self.code_num_dim,), det_pts.dtype)
-        det_pts6 = jnp.concatenate([det_pts, zeros], axis=-1)
-
         inten = jnp.full(occ_points.shape[:-1] + (1,), self.default_inten, jnp.float32)
         pad_feats = [inten]
         if Cd > 4:
@@ -395,31 +390,56 @@ class OccSubnet(nn.Module):
         occ_pts6 = jnp.concatenate(occ_feats, axis=-1)
         occ_pts6 = jnp.where(valid[..., None], occ_pts6, 0.0)
 
-        all_pts = jnp.concatenate([det_pts6, occ_pts6], axis=1)
-        all_ok = jnp.concatenate([det_ok, valid], axis=1)
-
-        # static capacity of the merged voxel table. The reference grows
-        # the voxel set dynamically (`combine_gt_occ_voxel_point`); K//4
-        # headroom assumes occ points share det voxels ~4:1 on average --
-        # override via OCC_PNT_UPDATE.MERGED_CAP_EXTRA for trained models
-        # that emit many isolated occupancy points.
+        # ---- incremental merge -------------------------------------------
+        # The reference re-voxelizes the union of raw det points + occ
+        # points (`combine_gt_occ_voxel_point`, torch.unique + scatter
+        # pad). Re-voxelizing ~140k point slots per frame costs a 140k
+        # sort; but the det table is ALREADY voxelized and key-sorted, so
+        # we only voxel-bin the K occ points (one 40k sort), binary-search
+        # their cells in the det key table, append hits into existing
+        # voxel slots, and give misses a fresh capacity-bounded block.
+        #
+        # Static capacity: per_frame_vox + extra. K//4 headroom assumes
+        # occ points share det voxels ~4:1 -- override via
+        # OCC_PNT_UPDATE.MERGED_CAP_EXTRA for trained models that emit
+        # many isolated occupancy points.
         extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", K // 4))
         merged_cap = per_frame_vox + extra
-        res = jax.vmap(
-            lambda p, v: voxelizer.voxelize(
-                p, v,
-                point_cloud_range=tuple(self.point_cloud_range),
-                voxel_size=tuple(self.det_voxel_size),
-                max_points=self.det_max_points_merged,
-                max_voxels=merged_cap,
-            )
-        )(all_pts, all_ok)
+        Pd_m = self.det_max_points_merged
+        C6 = occ_pts6.shape[-1]
+        nxd, nyd, nzd = voxelizer.compute_grid_size(
+            self.point_cloud_range, self.det_voxel_size
+        )
+        lo = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        vs = jnp.asarray(self.det_voxel_size, jnp.float32)
 
-        # flatten back with batch-prefixed coords; per-frame blocks stay
-        # key-sorted so the global table is sorted too
+        det_vox_b = det_voxels.reshape(B, per_frame_vox, Pd, Cd)
+        det_vox6 = jnp.concatenate([
+            det_vox_b,
+            jnp.zeros(det_vox_b.shape[:-1] + (C6 - Cd,), det_vox_b.dtype),
+        ], axis=-1)
+        # pad point slots Pd -> Pd_m (extra slots receive occ points)
+        det_vox6 = jnp.concatenate([
+            det_vox6,
+            jnp.zeros((B, per_frame_vox, Pd_m - Pd, C6), det_vox6.dtype),
+        ], axis=2)
+        det_coords_b = det_coords.reshape(B, per_frame_vox, 4)
+        det_numc = jnp.clip(det_num.reshape(B, per_frame_vox), 0, Pd)
+
+        merge = functools.partial(
+            voxelizer.merge_points_into_voxels,
+            grid_size=(nxd, nyd, nzd), lo=lo, vs=vs,
+            extra=extra, max_points=Pd_m,
+        )
+        vox, num, coords_zyx, row_valid = jax.vmap(merge)(
+            det_vox6, det_coords_b, det_numc, occ_pts6, valid
+        )
+
         bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32)[:, None], merged_cap, axis=1)
-        bcol = jnp.where(res.coords[:, :, :1] >= 0, bidx[..., None], -1)
-        coords4 = jnp.concatenate([bcol, res.coords], axis=-1).reshape(B * merged_cap, 4)
-        out["det_voxels"] = res.voxels.reshape(B * merged_cap, self.det_max_points_merged, -1)
+        bcol = jnp.where(row_valid[..., None], bidx[..., None], -1)
+        coords_zyx = jnp.where(row_valid[..., None], coords_zyx, -1)
+        coords4 = jnp.concatenate([bcol, coords_zyx], axis=-1).reshape(B * merged_cap, 4)
+        out["det_voxels"] = vox.reshape(B * merged_cap, Pd_m, -1)
         out["det_voxel_coords"] = coords4
-        out["det_voxel_num_points"] = res.num_points.reshape(B * merged_cap)
+        out["det_voxel_num_points"] = jnp.where(
+            row_valid, num, 0).reshape(B * merged_cap)

@@ -164,19 +164,32 @@ def lookup(table_keys: jax.Array, queries: jax.Array) -> tuple[jax.Array, jax.Ar
 DENSE_LOOKUP_MAX_CELLS = 96_000_000
 
 
-def lookup_in(st: "SparseTensor", queries: jax.Array) -> tuple[jax.Array, jax.Array]:
+def lookup_in(
+    st: "SparseTensor", queries: jax.Array, cache: dict | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Lookup linear-key queries in a SparseTensor's voxel table, picking
-    a dense table or sorted search by grid size."""
+    a dense table or sorted search by grid size.
+
+    All tensors at one backbone level share the same coordinate set, so
+    when a rulebook `cache` is passed the dense table is built once per
+    level (keyed by the level's spatial shape) and reused by every
+    subm/strided rulebook that queries that level."""
     nz, ny, nx = st.spatial_shape
     total = st.batch_size * nz * ny * nx
     if total > DENSE_LOOKUP_MAX_CELLS:
         return lookup(st.keys, queries)
-    scat = jnp.where(st.valid, st.keys, total)
-    # padding rows all target the sentinel slot; write -1 there so the
-    # winner never marks garbage queries as found
-    table = jnp.full((total + 1,), -1, jnp.int32).at[scat].set(
-        jnp.where(st.valid, jnp.arange(st.capacity, dtype=jnp.int32), -1)
-    )
+    tkey = ("dtable", st.spatial_shape, st.batch_size)
+    if cache is not None and tkey in cache:
+        table = cache[tkey]
+    else:
+        scat = jnp.where(st.valid, st.keys, total)
+        # padding rows all target the sentinel slot; write -1 there so the
+        # winner never marks garbage queries as found
+        table = jnp.full((total + 1,), -1, jnp.int32).at[scat].set(
+            jnp.where(st.valid, jnp.arange(st.capacity, dtype=jnp.int32), -1)
+        )
+        if cache is not None:
+            cache[tkey] = table
     q = jnp.clip(queries, 0, total)  # INT32_MAX padding -> sentinel row
     idx = table[q]
     found = idx >= 0
@@ -203,7 +216,7 @@ def _transpose_out_shape(spatial_shape, kernel_size, stride, padding) -> tuple[i
     )
 
 
-def subm_rulebook(st: SparseTensor, kernel_size) -> tuple[jax.Array, jax.Array]:
+def subm_rulebook(st: SparseTensor, kernel_size, cache: dict | None = None) -> tuple[jax.Array, jax.Array]:
     """Submanifold rulebook: (in_idx, valid), both (K, N).
 
     Output sites == input sites; for each offset the neighbor at
@@ -529,7 +542,7 @@ def conv_output_sites(
 
 def conv_rulebook(
     in_st: SparseTensor, out_coords: jax.Array, out_valid: jax.Array,
-    kernel_size, stride, padding,
+    kernel_size, stride, padding, cache: dict | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Gather rulebook for a regular (strided) conv: for each out site and
     offset, index of the contributing input (in = out*s - p + off)."""
@@ -551,7 +564,7 @@ def conv_rulebook(
     q = jnp.concatenate([b[..., None], in_zyx], axis=-1).reshape(-1, 4)
     q = jnp.where(inb.reshape(-1)[:, None], q, -1)
     qkeys = linear_key(q, in_st.spatial_shape, in_st.batch_size)
-    idx, found = lookup_in(in_st, qkeys)
+    idx, found = lookup_in(in_st, qkeys, cache)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
 
@@ -733,7 +746,8 @@ def _get_conv_rulebook(cache, key, st, out_coords, out_valid,
         rb = conv_rulebook_grouped(
             st, out_coords, out_valid, kernel_size, stride, padding)
     else:
-        rb = conv_rulebook(st, out_coords, out_valid, kernel_size, stride, padding)
+        rb = conv_rulebook(
+            st, out_coords, out_valid, kernel_size, stride, padding, cache)
     if cache is not None and key:
         cache[ck] = rb
     return rb
@@ -761,8 +775,10 @@ class SubMConv3d(nn.Module):
         if cache is not None and self.indice_key and rb_key in cache:
             rb = cache[rb_key]
         else:
-            rb = (subm_rulebook_grouped if grouped else subm_rulebook)(
-                st, self.kernel_size)
+            if grouped:
+                rb = subm_rulebook_grouped(st, self.kernel_size)
+            else:
+                rb = subm_rulebook(st, self.kernel_size, cache)
             if cache is not None and self.indice_key:
                 cache[rb_key] = rb
         if grouped:

@@ -135,6 +135,103 @@ def voxelize(
     )
 
 
+def merge_points_into_voxels(
+    dvox: jax.Array, dcoords: jax.Array, dnum: jax.Array,
+    opts: jax.Array, ovalid: jax.Array,
+    *, grid_size: tuple, lo: jax.Array, vs: jax.Array,
+    extra: int, max_points: int,
+):
+    """Incrementally merge loose points into an existing key-sorted voxel
+    table (one frame).
+
+    Instead of re-voxelizing the union of all voxel points + new points
+    (the reference's `combine_gt_occ_voxel_point` semantics, which costs
+    a sort over every point slot), this bins only the K new points (one
+    K-sort), binary-searches their cells in the existing key table,
+    appends hits into free slots of their voxels, and gives miss cells a
+    fresh `extra`-capacity block.
+
+    dvox: (Nd, max_points, C) existing voxels (slots beyond dnum zero);
+    dcoords: (Nd, 4) (b, z, y, x), -1 pad, key-sorted; dnum: (Nd,);
+    opts: (K, C) new points (xyz leading); ovalid: (K,).
+    Returns (vox (Nd+extra, max_points, C), num, coords_zyx, row_valid);
+    the det block and extra block are each key-sorted, but the
+    concatenation is not -- downstream must re-sort (from_coords does).
+    """
+    nxd, nyd, nzd = grid_size
+    Nd, Pd_m, C6 = dvox.shape
+    dz, dy, dx = dcoords[:, 1], dcoords[:, 2], dcoords[:, 3]
+    dvalid = dcoords[:, 0] >= 0
+    dkey = jnp.where(
+        dvalid, (dz * nyd + dy) * nxd + dx, INT32_MAX
+    ).astype(jnp.int32)
+
+    c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
+    inr = (
+        (c[:, 0] >= 0) & (c[:, 0] < nxd)
+        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
+        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
+    )
+    ok = ovalid & inr
+    okey = jnp.where(
+        ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
+    ).astype(jnp.int32)
+    order = jnp.argsort(okey, stable=True)
+    sk = okey[order]
+    sp = opts[order]
+    Kp = sk.shape[0]
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    live = sk != INT32_MAX
+    first = first & live
+    pos = jnp.arange(Kp, dtype=jnp.int32)
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    slot = pos - seg_start
+
+    ridx = jnp.clip(
+        jnp.searchsorted(dkey, sk, method="sort").astype(jnp.int32), 0, Nd - 1
+    )
+    hit = (dkey[ridx] == sk) & live
+
+    # hits: append into existing voxels at slot dnum + within-cell rank
+    dest_slot = dnum[ridx] + slot
+    keep_h = hit & (dest_slot < Pd_m)
+    rr = jnp.where(keep_h, ridx, Nd)
+    ss = jnp.where(keep_h, dest_slot, 0)
+    dvox_p = jnp.concatenate([dvox, jnp.zeros((1, Pd_m, C6), dvox.dtype)], axis=0)
+    dvox_p = dvox_p.at[rr, ss].set(jnp.where(keep_h[:, None], sp, 0.0))
+    merged_vox = dvox_p[:Nd]
+    merged_num = jnp.concatenate([dnum, jnp.zeros((1,), dnum.dtype)])
+    merged_num = merged_num.at[rr].add(keep_h.astype(dnum.dtype))[:Nd]
+
+    # misses: fresh voxel rows in the extra block
+    miss_head = first & ~hit
+    nrank = jnp.cumsum(miss_head.astype(jnp.int32)) - 1
+    keep_m = ~hit & live & (nrank >= 0) & (nrank < extra) & (slot < Pd_m)
+    er = jnp.where(keep_m, nrank, extra)
+    es = jnp.where(keep_m, slot, 0)
+    evox = jnp.zeros((extra + 1, Pd_m, C6), dvox.dtype)
+    evox = evox.at[er, es].set(jnp.where(keep_m[:, None], sp, 0.0))[:extra]
+    enum = jnp.zeros((extra + 1,), dnum.dtype).at[er].add(
+        keep_m.astype(dnum.dtype))[:extra]
+    ekey = jnp.full((extra + 1,), INT32_MAX)
+    ekey = ekey.at[jnp.where(miss_head & (nrank < extra), nrank, extra)].min(
+        jnp.where(miss_head, sk, INT32_MAX))[:extra]
+    epad = ekey == INT32_MAX
+    ez = ekey // (nyd * nxd)
+    ey = (ekey - ez * (nyd * nxd)) // nxd
+    ex = ekey - ez * (nyd * nxd) - ey * nxd
+    ecoords = jnp.stack([
+        jnp.where(epad, -1, ez), jnp.where(epad, -1, ey),
+        jnp.where(epad, -1, ex),
+    ], axis=-1).astype(jnp.int32)
+
+    vox = jnp.concatenate([merged_vox, evox], axis=0)
+    num = jnp.concatenate([merged_num, enum], axis=0)
+    coords_zyx = jnp.concatenate([dcoords[:, 1:4], ecoords], axis=0)
+    row_valid = jnp.concatenate([dvalid, ~epad], axis=0)
+    return vox, num, coords_zyx, row_valid
+
+
 def voxelize_np(points, point_cloud_range, voxel_size, max_points, max_voxels):
     """numpy twin for the CPU input pipeline. Same drop semantics as the
     jit version (key-sorted voxel selection, point-order within voxels).

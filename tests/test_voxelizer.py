@@ -74,3 +74,85 @@ def test_voxelize_keys_sorted():
     assert np.all(np.diff(keys) > 0)
     # padding at the end only
     assert not valid[: valid.sum()].__invert__().any()
+
+
+def test_incremental_merge_matches_full_revoxelization():
+    """merge_points_into_voxels must produce the same voxel content as
+    voxelizing the union of existing voxel points + new points (the
+    reference's combine_gt_occ_voxel_point semantics), up to voxel-row
+    ordering and within-voxel point ordering."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    pcr = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+    vs = (0.5, 0.5, 0.5)
+    nx, ny, nz = voxelizer.compute_grid_size(pcr, vs)
+    max_points, n_det, extra = 6, 300, 120
+
+    base_pts = rng.uniform((0, -8, -3), (16, 8, 1), (900, 3)).astype(np.float32)
+    base_pts = np.concatenate([base_pts, rng.rand(900, 1).astype(np.float32)], 1)
+    res = voxelizer.voxelize(
+        jnp.asarray(base_pts), jnp.ones(900, bool),
+        point_cloud_range=pcr, voxel_size=vs,
+        max_points=max_points, max_voxels=n_det,
+    )
+
+    new_pts = rng.uniform((0, -8, -3), (16, 8, 1), (250, 3)).astype(np.float32)
+    # half the new points land in already-occupied cells
+    occupied = np.asarray(res.coords[np.asarray(res.num_points) > 0])
+    sel = occupied[rng.randint(0, len(occupied), 125)]
+    centers = np.stack([
+        (sel[:, 2] + 0.5) * vs[0] + pcr[0],
+        (sel[:, 1] + 0.5) * vs[1] + pcr[1],
+        (sel[:, 0] + 0.5) * vs[2] + pcr[2],
+    ], 1).astype(np.float32)
+    new_pts[:125] = centers
+    new_pts4 = np.concatenate([new_pts, rng.rand(250, 1).astype(np.float32)], 1)
+    new_valid = rng.rand(250) > 0.1
+
+    coords4 = np.concatenate([
+        np.where(np.asarray(res.coords[:, :1]) >= 0, 0, -1), np.asarray(res.coords)
+    ], axis=1).astype(np.int32)
+    vox, num, coords_zyx, row_valid = voxelizer.merge_points_into_voxels(
+        res.voxels, jnp.asarray(coords4), res.num_points,
+        jnp.asarray(new_pts4), jnp.asarray(new_valid),
+        grid_size=(nx, ny, nz), lo=jnp.asarray(pcr[:3], jnp.float32),
+        vs=jnp.asarray(vs, jnp.float32), extra=extra, max_points=max_points,
+    )
+
+    # reference: voxelize the union with ample capacity
+    slot_ok = (np.arange(max_points)[None] < np.asarray(res.num_points)[:, None])
+    union = np.concatenate([
+        np.asarray(res.voxels).reshape(-1, 4)[slot_ok.reshape(-1)],
+        new_pts4[new_valid],
+    ])
+    ref = voxelizer.voxelize(
+        jnp.asarray(union), jnp.ones(len(union), bool),
+        point_cloud_range=pcr, voxel_size=vs,
+        max_points=max_points, max_voxels=n_det + extra,
+    )
+
+    def content(voxels, coords, nums, valid):
+        d = {}
+        for i in range(len(nums)):
+            if not valid[i] or nums[i] == 0:
+                continue
+            key = tuple(int(x) for x in coords[i])
+            pts = np.asarray(voxels[i][: int(nums[i])])
+            d[key] = np.sort(pts.round(4).view([("", pts.dtype)] * 4), axis=0)
+        return d
+
+    got = content(np.asarray(vox), np.asarray(coords_zyx), np.asarray(num),
+                  np.asarray(row_valid))
+    want = content(np.asarray(ref.voxels), np.asarray(ref.coords),
+                   np.asarray(ref.num_points),
+                   np.asarray(ref.coords[:, 0]) >= 0)
+    # voxels whose point lists overflowed max_points may differ in WHICH
+    # points were kept; compare counts there, full content elsewhere
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        if len(want[k]) >= max_points:
+            assert len(got[k]) == len(want[k])
+        else:
+            assert np.array_equal(got[k], want[k]), k
