@@ -115,6 +115,28 @@ class DataProcessor:
 
     transform_points_to_voxels = det_transform_points_to_voxels
 
+    def gen_pnt_label(self, data_dict, config, rng=None):
+        """Per-voxel-point foreground class labels (reference
+        `data_processor.py:193` gen_pnt_label + `point_box_utils.py:10`
+        points_in_box_3d_label with slack): label = max over boxes of
+        (in slack-scaled box) * box class id."""
+        voxels = data_dict["voxels"]
+        num_points = data_dict["voxel_num_points"]
+        V, VP, _ = voxels.shape
+        slack = float(config.get("SLACK", 1.0))
+        gt = np.asarray(data_dict.get("gt_boxes", np.zeros((0, 8))))
+        label = np.zeros((V, VP), np.float32)
+        if len(gt):
+            mask = np.arange(VP)[None, :] < np.asarray(num_points)[:, None]
+            pts = voxels.reshape(V * VP, -1)[:, :3]
+            slacked = np.concatenate(
+                [gt[:, :3], gt[:, 3:6] * slack, gt[:, 6:7]], axis=1)
+            inbox = box_utils.points_in_boxes_mask(pts, slacked)  # (V*VP, M)
+            lab = (inbox * gt[None, :, 7]).max(axis=1)
+            label = (lab.reshape(V, VP) * mask).astype(np.float32)
+        data_dict["voxel_points_label"] = label
+        return data_dict
+
     def sample_points(self, data_dict, config, rng=None):
         num = config["NUM_POINTS"][self.mode]
         pts = data_dict["points"]

@@ -207,6 +207,8 @@ class BtcNet(nn.Module):
             occ_pnts = occ_out["occ_points"]            # (B, Q, 4+) xyz + prob
             occ_pnts_mask = occ_out["occ_points_mask"]  # (B, Q)
             out["occ_probs"] = occ_out.get("probs")
+            out["occ_points"] = occ_pnts
+            out["occ_points_mask"] = occ_pnts_mask
             if not train:
                 # occupancy P/R/F1 diagnostics (reference
                 # `occ_post_processing`, `detector3d_template.py:479`)

@@ -206,3 +206,49 @@ def test_getitem_eval(kitti_root):
     assert len(annos[0]["name"]) == len(gt)
     result_str, result_dict, _pr_rc = ds.evaluation(annos, ["Car"])
     assert "Car_3d/moderate_R40" in result_dict
+
+
+def test_build_dataloader_factory(kitti_root):
+    """build_dataloader (reference btcdet/datasets/__init__.py:39) returns
+    a working dataset/loader/sampler triple; ShardSampler shards evenly."""
+    from btcdet_tpu.datasets import ShardSampler, build_dataloader
+
+    cfg = data_cfg(kitti_root)
+    ds, dl, sampler = build_dataloader(
+        cfg, ["Car"], batch_size=2, dist=False, workers=0, training=True,
+    )
+    batch = next(iter(dl))
+    assert batch["det_voxels"].shape[0] == 2 * cfg["DATA_PROCESSOR"][3]["MAX_NUMBER_OF_VOXELS"]["train"]
+    assert sampler is None
+
+    s0 = ShardSampler(10, num_shards=4, shard_id=0, shuffle=True, seed=1)
+    s3 = ShardSampler(10, num_shards=4, shard_id=3, shuffle=True, seed=1)
+    s0.set_epoch(2); s3.set_epoch(2)
+    i0, i3 = list(s0), list(s3)
+    assert len(i0) == len(i3) == 3  # padded to equal step count
+    assert all(0 <= i < 10 for i in i0 + i3)
+
+
+def test_gen_pnt_label(kitti_root):
+    """gen_pnt_label marks voxel points inside (slack-scaled) gt boxes
+    with the box class id (reference data_processor.py:193)."""
+    from btcdet_tpu.datasets.processor import DataProcessor
+
+    boxes = np.array([[5.0, 0.0, -1.0, 4.0, 2.0, 1.6, 0.3, 2.0]], np.float32)
+    pts_in = np.array([[5.0, 0.0, -1.0, 0.5], [5.5, 0.2, -0.8, 0.2]], np.float32)
+    pts_out = np.array([[20.0, 5.0, -1.0, 0.1]], np.float32)
+    pts = np.concatenate([pts_in, pts_out])
+    proc = DataProcessor(
+        [EasyDict({"NAME": "transform_points_to_voxels", "VOXEL_SIZE": [0.2, 0.2, 0.4],
+                   "MAX_POINTS_PER_VOXEL": 4, "MAX_NUMBER_OF_VOXELS": {"train": 64, "test": 64}}),
+         EasyDict({"NAME": "gen_pnt_label"})],
+        point_cloud_range=[0, -16, -3, 48, 16, 1], training=True,
+    )
+    d = proc.forward({"points": pts, "gt_boxes": boxes})
+    lab = d["voxel_points_label"]
+    vox = d["voxels"]
+    # every nonzero label equals the class id 2 and tags an in-box point
+    assert lab.max() == 2.0
+    tagged = vox[lab > 0]
+    assert len(tagged) == 2
+    assert np.all(np.abs(tagged[:, 0] - 5.0) < 1.0)

@@ -52,6 +52,42 @@ def main(mode="test"):
 
     timeit("FULL eval forward", full, variables, batch, iters=3)
 
+    # prefix probes: returning an intermediate lets XLA DCE the tail, so
+    # deltas between these are trustworthy stage costs (the standalone
+    # stage probes below re-enter the model and carry extra overhead)
+    def prefix(key):
+        @jax.jit
+        def f(v, b):
+            return net.apply(v, b, train=False)[key]
+        return f
+
+    # in-graph x4 repetition amortizes dispatch/tunnel overhead: the
+    # model runs 4x inside one executable on perturbed input (prevents
+    # CSE), so (t(x4) - t(x1)) / 3 is the clean per-iteration cost.
+    def prefix(key, reps=1):
+        @jax.jit
+        def f(v, b):
+            def body(i, acc):
+                bb = dict(b)
+                # perturb float inputs so XLA cannot collapse the loop
+                bb["det_voxels"] = bb["det_voxels"] + acc * 1e-9
+                bb["occ_voxels"] = bb["occ_voxels"] + acc * 1e-9
+                r = net.apply(v, bb, train=False)[key]
+                return acc + jnp.sum(r).astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+        return f
+
+    timeit("prefix x1: + ConvHead (full)", prefix("batch_box_preds", 1),
+           variables, batch, iters=3)
+    for key, label in [
+        ("occ_probs", "occ (no merge)"),
+        ("occ_points", "occ points"),
+        ("rpn_box_preds", "+merge+det bb+RPN"),
+        ("rois", "+ proposal NMS"),
+        ("batch_box_preds", "+ ConvHead"),
+    ]:
+        timeit(f"prefix x4: {label}", prefix(key, 4), variables, batch, iters=3)
+
     # occ subnet alone
     @jax.jit
     def occ_only(v, b):

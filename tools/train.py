@@ -48,6 +48,9 @@ def parse_config():
     parser.add_argument("--steps", type=int, default=None,
                         help="cap steps per epoch (smoke tests)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--vis_stride", type=int, default=0,
+                        help="dump every Nth batch as a cloud .npy for "
+                             "tools/visual_utils/visualize_pc.py (0=off)")
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -149,9 +152,26 @@ def main():
     step_fn = jax.jit(trainer_mod.make_train_step(net, tx))
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    cloud_dir = output_dir / "cloud"
     for epoch in range(start_epoch, epochs):
         for i, batch in enumerate(loader(epoch)):
             jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
+            if args.vis_stride and i % args.vis_stride == 0:
+                # training cloud dumps for tools/visual_utils/visualize_pc.py
+                # (reference train_utils.py:153-154 pc_{epoch}_{iter}.npy)
+                cloud_dir.mkdir(parents=True, exist_ok=True)
+                d = {}
+                if "points" in batch:
+                    p = np.asarray(batch["points"][0])
+                    d["gt_points"] = p[np.abs(p[:, :3]).sum(1) > 0][:, :3]
+                if "bm_points" in batch:
+                    bm = np.asarray(batch["bm_points"][0])
+                    bmm = np.asarray(batch["bm_points_mask"][0]).astype(bool)
+                    d["boxvoxel_center"] = bm[bmm][:, :3]
+                if "gt_boxes" in batch:
+                    gb = np.asarray(batch["gt_boxes"][0])
+                    d["gt_boxes"] = gb[np.abs(gb[:, 3:6]).sum(1) > 0][:, :7]
+                np.save(cloud_dir / f"pc_{epoch}_{i}.npy", d)
             state, metrics = step_fn(state, jb, rng)
             if i % 10 == 0 or args.steps:
                 m = jax.device_get(metrics)
