@@ -120,3 +120,34 @@ def test_scatter_mean_res():
     ))
     np.testing.assert_allclose(res[0, 1, 2, 3], [2.0, 3.0, 4.0], atol=1e-6)
     assert np.abs(res).sum() == np.abs(res[0, 1, 2, 3]).sum()
+
+
+def test_reproj_matmul_matches_scatter():
+    """The azimuth-factorized one-hot-matmul reprojection must equal the
+    scatter-or through the full sphere->occ map, and the triangular-
+    matmul running-OR must equal a plain cumsum."""
+    import jax.numpy as jnp
+
+    from btcdet_tpu.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    spec = T.build_grid_spec(cfg.DATA_CONFIG)
+    assert spec.sphere_reproj_2d is not None, "flagship grids share azimuth binning"
+
+    rng = np.random.RandomState(0)
+    B = 2
+    pts = np.stack([
+        rng.uniform(3, 68, 5000), rng.uniform(-38, 38, 5000),
+        rng.uniform(-2.4, 0.5, 5000),
+    ], 1).astype(np.float32)
+    pv = rng.rand(5000) > 0.2
+    pb = rng.randint(0, B, 5000).astype(np.int32)
+    rz = np.zeros((B,), np.float32)
+
+    fast = T.occlusion_mask(spec, jnp.asarray(pts), jnp.asarray(pv),
+                            jnp.asarray(pb), jnp.asarray(rz), B)
+    spec_fb = spec._replace(sphere_reproj_2d=None)
+    slow = T.occlusion_mask(spec_fb, jnp.asarray(pts), jnp.asarray(pv),
+                            jnp.asarray(pb), jnp.asarray(rz), B)
+    assert np.array_equal(np.asarray(fast), np.asarray(slow))
+    assert np.asarray(fast).sum() > 0

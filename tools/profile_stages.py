@@ -61,24 +61,12 @@ def main(mode="test"):
             return net.apply(v, b, train=False)[key]
         return f
 
-    # in-graph x4 repetition amortizes dispatch/tunnel overhead: the
-    # model runs 4x inside one executable on perturbed input (prevents
-    # CSE), so (t(x4) - t(x1)) / 3 is the clean per-iteration cost.
-    def prefix(key, reps=1):
+    def prefix(key):
         @jax.jit
         def f(v, b):
-            def body(i, acc):
-                bb = dict(b)
-                # perturb float inputs so XLA cannot collapse the loop
-                bb["det_voxels"] = bb["det_voxels"] + acc * 1e-9
-                bb["occ_voxels"] = bb["occ_voxels"] + acc * 1e-9
-                r = net.apply(v, bb, train=False)[key]
-                return acc + jnp.sum(r).astype(jnp.float32)
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+            return net.apply(v, b, train=False)[key]
         return f
 
-    timeit("prefix x1: + ConvHead (full)", prefix("batch_box_preds", 1),
-           variables, batch, iters=3)
     for key, label in [
         ("occ_probs", "occ (no merge)"),
         ("occ_points", "occ points"),
@@ -86,7 +74,7 @@ def main(mode="test"):
         ("rois", "+ proposal NMS"),
         ("batch_box_preds", "+ ConvHead"),
     ]:
-        timeit(f"prefix x4: {label}", prefix(key, 4), variables, batch, iters=3)
+        timeit(f"prefix: {label}", prefix(key), variables, batch, iters=5)
 
     # occ subnet alone
     @jax.jit
