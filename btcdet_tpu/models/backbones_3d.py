@@ -322,16 +322,19 @@ class _DenseBN(nn.Module):
 def _dilate_mask(mask, kernel, stride, padding):
     """Active-site propagation of a regular sparse conv: out site active
     iff any input in its receptive field is active."""
+    # ones-kernel conv + threshold rather than reduce_window(max): same
+    # any-in-receptive-field semantics, but avoids a TPU windowing-emitter
+    # crash (windowing_util.cc CHECK) when a Pallas call elsewhere in the
+    # program perturbs layout assignment around the fused reduce_window
     m = mask[..., None].astype(jnp.float32)
-    out = jax.lax.reduce_window(
+    out = jax.lax.conv_general_dilated(
         m,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, *kernel, 1),
-        window_strides=(1, *stride, 1),
-        padding=((0, 0), *[(p, p) for p in padding], (0, 0)),
+        jnp.ones((*kernel, 1, 1), jnp.float32),
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
-    return out[..., 0] > 0
+    return out[..., 0] > 0.5
 
 
 def _dilate_mask_transpose(mask, kernel, stride, padding):

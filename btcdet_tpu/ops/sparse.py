@@ -31,7 +31,9 @@ reference's NCDHW is a torch idiom).
 
 from __future__ import annotations
 
+import functools
 import itertools
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -40,7 +42,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import pallas_conv
+
 INT32_MAX = np.int32(2**31 - 1)
+
+# ---------------------------------------------------------------------
+# Engine selection: the fused Pallas kernel (pallas_conv.py) replaces the
+# rulebook build + 27-row-gather apply on TPU; the XLA engine remains the
+# reference implementation and the CPU / backward path.
+# BTCDET_PALLAS=0 disables; =1 forces (interpret mode off-TPU is slow --
+# only tests do that explicitly).
+# ---------------------------------------------------------------------
+_PALLAS_MODE = os.environ.get("BTCDET_PALLAS", "auto")
+
+
+def set_pallas_mode(mode: str):
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+
+
+def use_pallas(kind: str = "subm") -> bool:
+    """kind in {subm, conv, pool, fix}; mode may be 0/1/auto or a comma
+    list of enabled kinds (bisect/debug)."""
+    if _PALLAS_MODE == "0":
+        return False
+    if _PALLAS_MODE == "1":
+        return True
+    if _PALLAS_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return kind in _PALLAS_MODE.split(",")
 
 
 def _triple(v) -> tuple[int, int, int]:
@@ -717,6 +747,113 @@ def apply_rulebook_max_grouped(
     return jnp.where(any_found[:, None], out, 0.0)
 
 
+# ------------------------------------------------- fused Pallas bridge
+#
+# Forward runs the windowed sorted-match kernel (pallas_conv.py);
+# backward differentiates the equivalent XLA rulebook expression (the
+# rulebook args are unused by the primal, so XLA dead-code-eliminates
+# their construction in inference programs).
+
+_PALLAS_SUBM_CFG = (256, 128, 6)    # (T, WIN, NBLOCKS); guaranteed
+# window coverage is (NB-1)*WIN rows past block rounding
+_PALLAS_STRIDED_CFG = (128, 128, 6)
+
+
+def _pallas_supported(kernel_size, cout) -> bool:
+    kz, ky, kx = _triple(kernel_size)
+    return ky * kx <= pallas_conv.TAP_PAD and cout <= 128
+
+
+def _chunked_pallas_conv(features, keys, qk, weights, G, TPG, T, WIN, NB, M):
+    """Channel-chunked fused conv: tables hold <= 128 lanes, so wide
+    inputs (e.g. down_combine's 3-way concat) are split and summed."""
+    Cin = features.shape[1]
+    out = None
+    for c0 in range(0, Cin, 128):
+        c1 = min(c0 + 128, Cin)
+        o = pallas_conv._conv_fwd(
+            features[:, c0:c1], keys, qk, weights[:, c0:c1, :],
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M)
+        out = o if out is None else out + o
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_conv_ad(cfg, features, weights, qk, in_keys, rb_idx, rb_found):
+    G, TPG, T, WIN, NB, M = cfg
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+
+
+def _pallas_conv_ad_fwd(cfg, features, weights, qk, in_keys, rb_idx, rb_found):
+    out = _pallas_conv_ad(cfg, features, weights, qk, in_keys, rb_idx, rb_found)
+    return out, (features, weights, rb_idx, rb_found)
+
+
+def _pallas_conv_ad_bwd(cfg, res, g):
+    features, weights, rb_idx, rb_found = res
+    _, vjp = jax.vjp(
+        lambda f, w: apply_rulebook_matmul(f, rb_idx, rb_found, w),
+        features, weights,
+    )
+    df, dw = vjp(g)
+    return df, dw, None, None, None, None
+
+
+_pallas_conv_ad.defvjp(_pallas_conv_ad_fwd, _pallas_conv_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_pool_ad(cfg, features, qk, in_keys, rb_idx, rb_found):
+    G, TPG, T, WIN, NB, M, mode = cfg
+    return pallas_conv.fused_pool(
+        features, in_keys, qk, G, TPG, mode=mode, T=T, WIN=WIN, NB=NB, M=M)
+
+
+def _pallas_pool_ad_fwd(cfg, features, qk, in_keys, rb_idx, rb_found):
+    out = _pallas_pool_ad(cfg, features, qk, in_keys, rb_idx, rb_found)
+    return out, (features, rb_idx, rb_found)
+
+
+def _pallas_pool_ad_bwd(cfg, res, g):
+    mode = cfg[-1]
+    features, rb_idx, rb_found = res
+    if mode == "max":
+        ref = lambda f: apply_rulebook_max(f, rb_idx, rb_found)
+    else:
+        ref = lambda f: jnp.where(
+            rb_found[..., None], f[rb_idx], 0.0).sum(axis=0)
+    _, vjp = jax.vjp(ref, features)
+    (df,) = vjp(g)
+    return df, None, None, None, None
+
+
+_pallas_pool_ad.defvjp(_pallas_pool_ad_fwd, _pallas_pool_ad_bwd)
+
+
+def _pallas_subm_qk(st: SparseTensor, kernel_size, cache, key, T):
+    ck = ("pallas_subm_qk", key, _triple(kernel_size))
+    if cache is not None and key and ck in cache:
+        return cache[ck]
+    qk, G, TPG = pallas_conv.qkeys_subm(
+        st.coords, st.valid, st.spatial_shape, st.batch_size, kernel_size, T)
+    if cache is not None and key:
+        cache[ck] = (qk, G, TPG)
+    return qk, G, TPG
+
+
+def _pallas_conv_qk(in_st: SparseTensor, out_coords, out_valid, kernel_size,
+                    stride, padding, cache, key, T, transpose=False):
+    ck = ("pallas_conv_qk", key, _triple(kernel_size), transpose)
+    if cache is not None and key and ck in cache:
+        return cache[ck]
+    qk, G, TPG = pallas_conv.qkeys_conv(
+        out_coords, out_valid, in_st.spatial_shape, in_st.batch_size,
+        kernel_size, stride, padding, T, transpose=transpose)
+    if cache is not None and key:
+        cache[ck] = (qk, G, TPG)
+    return qk, G, TPG
+
+
 # --------------------------------------------------------------- modules
 
 
@@ -770,23 +907,32 @@ class SubMConv3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (K, cin, self.out_channels),
         )
-        grouped = _use_grouped(self.kernel_size)
-        rb_key = ("subm_g" if grouped else "subm", self.indice_key)
-        if cache is not None and self.indice_key and rb_key in cache:
-            rb = cache[rb_key]
+        if use_pallas("subm") and _pallas_supported(self.kernel_size, self.out_channels):
+            T, WIN, NB = _PALLAS_SUBM_CFG
+            qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
+            # XLA rulebook only feeds the custom-vjp backward (DCE'd in eval)
+            in_idx, found = subm_rulebook(st, self.kernel_size, cache)
+            out = _pallas_conv_ad(
+                (G, TPG, T, WIN, NB, st.capacity),
+                st.features, w, qk, st.keys, in_idx, found)
         else:
-            if grouped:
-                rb = subm_rulebook_grouped(st, self.kernel_size)
+            grouped = _use_grouped(self.kernel_size)
+            rb_key = ("subm_g" if grouped else "subm", self.indice_key)
+            if cache is not None and self.indice_key and rb_key in cache:
+                rb = cache[rb_key]
             else:
-                rb = subm_rulebook(st, self.kernel_size, cache)
-            if cache is not None and self.indice_key:
-                cache[rb_key] = rb
-        if grouped:
-            starts, pos, found = rb
-            out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
-        else:
-            in_idx, found = rb
-            out = apply_rulebook_matmul(st.features, in_idx, found, w)
+                if grouped:
+                    rb = subm_rulebook_grouped(st, self.kernel_size)
+                else:
+                    rb = subm_rulebook(st, self.kernel_size, cache)
+                if cache is not None and self.indice_key:
+                    cache[rb_key] = rb
+            if grouped:
+                starts, pos, found = rb
+                out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
+            else:
+                in_idx, found = rb
+                out = apply_rulebook_matmul(st.features, in_idx, found, w)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + b
@@ -820,17 +966,29 @@ class SparseConv3d(nn.Module):
             cache, self.indice_key, st, self.kernel_size, self.stride,
             self.padding, cap,
         )
-        grouped = _use_grouped(self.kernel_size)
-        rb = _get_conv_rulebook(
-            cache, self.indice_key, st, coords, keys != INT32_MAX,
-            self.kernel_size, self.stride, self.padding, grouped,
-        )
-        if grouped:
-            starts, pos, found = rb
-            out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
+        if use_pallas("conv") and _pallas_supported(self.kernel_size, self.out_channels):
+            T, WIN, NB = _PALLAS_STRIDED_CFG
+            qk, G, TPG = _pallas_conv_qk(
+                st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
+                self.padding, cache, self.indice_key, T)
+            in_idx, found = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, False)
+            out = _pallas_conv_ad(
+                (G, TPG, T, WIN, NB, keys.shape[0]),
+                st.features, w, qk, st.keys, in_idx, found)
         else:
-            in_idx, found = rb
-            out = apply_rulebook_matmul(st.features, in_idx, found, w)
+            grouped = _use_grouped(self.kernel_size)
+            rb = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, grouped,
+            )
+            if grouped:
+                starts, pos, found = rb
+                out = apply_rulebook_matmul_grouped(st.features, starts, pos, found, w)
+            else:
+                in_idx, found = rb
+                out = apply_rulebook_matmul(st.features, in_idx, found, w)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = out + b
@@ -951,17 +1109,29 @@ class SparseMaxPool3d(nn.Module):
             cache, self.indice_key, st, self.kernel_size, self.stride,
             self.padding, cap,
         )
-        grouped = _use_grouped(self.kernel_size)
-        rb = _get_conv_rulebook(
-            cache, self.indice_key, st, coords, keys != INT32_MAX,
-            self.kernel_size, self.stride, self.padding, grouped,
-        )
-        if grouped:
-            starts, pos, found = rb
-            out = apply_rulebook_max_grouped(st.features, starts, pos, found)
+        if use_pallas("pool") and _pallas_supported(self.kernel_size, st.features.shape[-1]):
+            T, WIN, NB = _PALLAS_STRIDED_CFG
+            qk, G, TPG = _pallas_conv_qk(
+                st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
+                self.padding, cache, self.indice_key, T)
+            in_idx, found = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, False)
+            out = _pallas_pool_ad(
+                (G, TPG, T, WIN, NB, keys.shape[0], "max"),
+                st.features, qk, st.keys, in_idx, found)
         else:
-            in_idx, found = rb
-            out = apply_rulebook_max(st.features, in_idx, found)
+            grouped = _use_grouped(self.kernel_size)
+            rb = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, grouped,
+            )
+            if grouped:
+                starts, pos, found = rb
+                out = apply_rulebook_max_grouped(st.features, starts, pos, found)
+            else:
+                in_idx, found = rb
+                out = apply_rulebook_max(st.features, in_idx, found)
         return SparseTensor(
             features=out,
             coords=coords,
@@ -990,20 +1160,32 @@ class FixedSparseConv3d(nn.Module):
             cache, self.indice_key, st, self.kernel_size, self.stride,
             self.padding, cap,
         )
-        grouped = _use_grouped(self.kernel_size)
-        rb = _get_conv_rulebook(
-            cache, self.indice_key, st, coords, keys != INT32_MAX,
-            self.kernel_size, self.stride, self.padding, grouped,
-        )
-        if grouped:
-            starts, pos, found = rb
-            out = apply_rulebook_sum_grouped(
-                st.features, starts, pos, found) * self.default_value
+        if use_pallas("fix") and _pallas_supported(self.kernel_size, st.features.shape[-1]):
+            T, WIN, NB = _PALLAS_STRIDED_CFG
+            qk, G, TPG = _pallas_conv_qk(
+                st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
+                self.padding, cache, self.indice_key, T)
+            in_idx, found = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, False)
+            out = _pallas_pool_ad(
+                (G, TPG, T, WIN, NB, keys.shape[0], "sum"),
+                st.features, qk, st.keys, in_idx, found) * self.default_value
         else:
-            in_idx, found = rb
-            gathered = st.features[in_idx]
-            gathered = jnp.where(found[..., None], gathered, 0.0)
-            out = gathered.sum(axis=0) * self.default_value
+            grouped = _use_grouped(self.kernel_size)
+            rb = _get_conv_rulebook(
+                cache, self.indice_key, st, coords, keys != INT32_MAX,
+                self.kernel_size, self.stride, self.padding, grouped,
+            )
+            if grouped:
+                starts, pos, found = rb
+                out = apply_rulebook_sum_grouped(
+                    st.features, starts, pos, found) * self.default_value
+            else:
+                in_idx, found = rb
+                gathered = st.features[in_idx]
+                gathered = jnp.where(found[..., None], gathered, 0.0)
+                out = gathered.sum(axis=0) * self.default_value
         return SparseTensor(
             features=out,
             coords=coords,
