@@ -113,6 +113,10 @@ class ConvHead(nn.Module):
     # so a 0.95-recall approximate neighbor set is an equivalent-quality
     # grouping (training adapts; eval uses the same net consistently)
     approx_query: bool = True
+    # bf16 activations in the pooling branches + FC trunk (params and BN
+    # statistics stay f32): halves the HBM traffic of the x_combine
+    # trilinear gathers and doubles MXU rate for the local conv stack
+    compute_dtype: Any = jnp.bfloat16
     # loss weights (LOSS_CONFIG)
     rcnn_cls_weight: float = 1.0
     rcnn_reg_weight: float = 1.0
@@ -166,7 +170,7 @@ class ConvHead(nn.Module):
             sa = group_ops.PointSAModuleMSG(
                 radii=list(self.raw_radii), nsamples=list(self.raw_nsamples),
                 mlps=[[self.raw_feat_dim + 3, *m] for m in self.raw_mlps],
-                approx_query=self.approx_query,
+                approx_query=self.approx_query, dtype=self.compute_dtype,
                 name="SA_rawpoints",
             )
             feats.append(sa(
@@ -177,7 +181,7 @@ class ConvHead(nn.Module):
             sa = group_ops.PointSAModuleMSG(
                 radii=list(self.occ_radii), nsamples=list(self.occ_nsamples),
                 mlps=[[self.occ_feat_dim + 3, *m] for m in self.occ_mlps],
-                approx_query=self.approx_query,
+                approx_query=self.approx_query, dtype=self.compute_dtype,
                 name="SA_occpoints",
             )
             feats.append(sa(
@@ -187,14 +191,15 @@ class ConvHead(nn.Module):
         if "x_combine" in self.features_source and x_combine is not None:
             feats.append(self._x_combine_pool(rois, roi_valid, grid_pts, x_combine, train))
 
-        out = jnp.concatenate(feats, axis=-1)  # (B, N*G, C)
+        out = jnp.concatenate([f.astype(self.compute_dtype) for f in feats], axis=-1)
         C = out.shape[-1]
         out = out.reshape(B * N, G * C)
 
         h = out
         mask_bn = roi_valid.reshape(B * N)
         for i, c in enumerate(self.shared_fc):
-            h = nn.Dense(c, use_bias=False, name=f"shared_fc_{i}")(h)
+            h = nn.Dense(c, use_bias=False, dtype=self.compute_dtype,
+                         name=f"shared_fc_{i}")(h)
             h = _BN1d(name=f"shared_bn_{i}")(h, mask_bn, train)
             h = nn.relu(h)
             if i != len(self.shared_fc) - 1 and self.dp_ratio > 0:
@@ -202,15 +207,17 @@ class ConvHead(nn.Module):
 
         def fc_head(x, fcs, out_dim, name):
             for i, c in enumerate(fcs):
-                x = nn.Dense(c, use_bias=False, name=f"{name}_{i}")(x)
+                x = nn.Dense(c, use_bias=False, dtype=self.compute_dtype,
+                             name=f"{name}_{i}")(x)
                 x = _BN1d(name=f"{name}_bn_{i}")(x, mask_bn, train)
                 x = nn.relu(x)
                 if i == 0 and self.dp_ratio > 0:
                     x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
+            # final projection in f32 (loss-facing logits/residuals)
             return nn.Dense(
                 out_dim, name=f"{name}_out",
                 kernel_init=nn.initializers.normal(0.001),
-            )(x)
+            )(x.astype(jnp.float32))
 
         rcnn_cls = fc_head(h, self.cls_fc, self.num_class, "cls")
         rcnn_reg = fc_head(h, self.reg_fc, self.box_coder.code_size * self.num_class, "reg")
@@ -224,7 +231,8 @@ class ConvHead(nn.Module):
         lz, ly, lx = self.xc_local_grid
         L = lz * ly * lx
 
-        dense = x_combine.dense()  # (B, nz, ny, nx, C)
+        # bf16 table: the 8 corner gathers are the branch's HBM traffic
+        dense = x_combine.dense().astype(self.compute_dtype)  # (B, nz, ny, nx, C)
         C = dense.shape[-1]
 
         # local rois: center at grid point, dims scaled, same yaw
@@ -241,7 +249,8 @@ class ConvHead(nn.Module):
         conv_params = list(zip(self.xc_kernels, self.xc_strides, self.xc_paddings))
         convs = [
             nn.Conv(self.xc_channels[i + 1], tuple(k), strides=tuple(s),
-                    padding=[(p0, p0) for p0 in p], use_bias=False, name=f"xc_conv_{i}")
+                    padding=[(p0, p0) for p0 in p], use_bias=False,
+                    dtype=self.compute_dtype, name=f"xc_conv_{i}")
             for i, (k, s, p) in enumerate(conv_params)
         ]
         bns = [_BN1d(name=f"xc_bn_{i}") for i in range(len(conv_params))]
@@ -253,8 +262,8 @@ class ConvHead(nn.Module):
             M = pts.shape[1]
             sampled = jax.vmap(common.trilinear_interpolate_dense)(
                 dense, zyx.reshape(B, M * L, 3)
-            )  # (B, M*L, C)
-            g = sampled.reshape(B * M, lz, ly, lx, C)
+            )  # (B, M*L, C) f32 accum over bf16 corners
+            g = sampled.astype(self.compute_dtype).reshape(B * M, lz, ly, lx, C)
             m = valid.reshape(B * M)
             for conv, bn in zip(convs, bns):
                 g = conv(g)
@@ -264,9 +273,10 @@ class ConvHead(nn.Module):
                 g = nn.relu(gflat).reshape(sh)
             return g.reshape(B, M, -1)
 
-        # chunk over rois to bound the (B*N*G, lz, ly, lx, C) intermediate;
-        # pad the roi axis to a chunk multiple (padded rois are invalid)
-        nc = min(self.roi_chunk, N)
+        # chunk over rois to bound the (B*N*G, lz, ly, lx, C) intermediate
+        # at train time (activations are kept for backward); at eval the
+        # chunk pad/transpose shuffles cost ~12 ms/frame, so run one-shot
+        nc = min(self.roi_chunk, N) if train else N
         pad_n = (-N) % nc
         Np = N + pad_n
         sp = jnp.pad(sample_pts.reshape(B, N, G, L, 3), ((0, 0), (0, pad_n), (0, 0), (0, 0), (0, 0)))

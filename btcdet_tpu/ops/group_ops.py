@@ -47,21 +47,38 @@ def multi_ball_query(
     nsamples,                # sequence of int
     chunk: int = 512,
     approx: bool = False,
+    shared_candidates: bool | None = None,
 ):
     """Shared-distance multi-scale ball/shell query: the (M, N) distance
-    matrix is computed once per chunk (as one MXU matmul + norms) and all
-    scales select from it with a single stacked top-k.
+    matrix is computed once per chunk (as one MXU matmul + norms).
+
+    Selection strategy:
+      * per-scale (shared_candidates=False): every scale runs its own
+        top-k over an (S, chunk, N) score stack -- exact "first K in
+        point order within radius" (the reference CUDA semantics).
+      * shared candidates (default when `approx`): ONE top-k by nearness
+        over the widest radius yields k_max candidates; each scale then
+        picks its "first K in point order" among those candidates with a
+        tiny in-register top-k. This skips materializing + reducing the
+        S-times-larger score stack (the query's HBM bottleneck). A
+        scale-s ball point can only be displaced when more than k_max
+        nearer points exist -- in which case the ball is over-full and a
+        nearest-biased subset is at least as informative as the
+        reference's arbitrary scan-order subset.
 
     Returns per scale: (idx (B, M, k_s) int32, empty (B, M) bool).
     """
     S = len(radii)
     k_max = max(int(k) for k in nsamples)
+    if shared_candidates is None:
+        shared_candidates = approx
     r2 = []
     for r in radii:
         if isinstance(r, (list, tuple)):
             r2.append((float(r[0]) ** 2, float(r[1]) ** 2))
         else:
             r2.append((0.0, float(r) ** 2))
+    r_out_max = max(hi for _, hi in r2)
 
     B, M, _ = new_xyz.shape
     N = xyz.shape[1]
@@ -74,14 +91,15 @@ def multi_ball_query(
 
     xyz_sq = jnp.sum(xyz * xyz, axis=-1)  # (B, N)
     order_score = jnp.arange(N, 0, -1, dtype=jnp.float32)
+    BIG = jnp.float32(3.0e38)
 
-    def one_chunk(args):
-        qc, qmc = args
-        # dist^2 via matmul (MXU) + norms
+    def dist2_of(qc):
         cross = jnp.einsum("bqc,bnc->bqn", qc, xyz, preferred_element_type=jnp.float32)
-        dist2 = (
-            jnp.sum(qc * qc, axis=-1)[..., None] + xyz_sq[:, None, :] - 2.0 * cross
-        )
+        return jnp.sum(qc * qc, axis=-1)[..., None] + xyz_sq[:, None, :] - 2.0 * cross
+
+    def one_chunk_perscale(args):
+        qc, qmc = args
+        dist2 = dist2_of(qc)
         scores = jnp.stack([
             jnp.where(
                 (dist2 <= hi) & (dist2 >= lo) & xyz_mask[:, None, :], order_score, -1.0
@@ -100,7 +118,41 @@ def multi_ball_query(
         idx = jnp.where(empty[..., None], 0, idx)
         return idx.astype(jnp.int32), empty
 
-    idx, empty = jax.lax.map(one_chunk, (q, qm))
+    def one_chunk_shared(args):
+        qc, qmc = args
+        dist2 = dist2_of(qc)
+        in_any = (dist2 <= r_out_max) & xyz_mask[:, None, :]
+        neg = jnp.where(in_any, -dist2, -BIG)
+        if approx:
+            nd, cand = jax.lax.approx_max_k(neg, k_max, recall_target=0.95)
+        else:
+            nd, cand = jax.lax.top_k(neg, k_max)
+        cand_d2 = -nd                       # (B, chunk, k_max)
+        cand_ok = nd > -BIG / 2
+        idxs, empties = [], []
+        for (lo, hi), ks in zip(r2, nsamples):
+            in_s = cand_ok & (cand_d2 <= hi) & (cand_d2 >= lo)
+            # "first in point order" among candidates: max of -index
+            sc = jnp.where(in_s, -cand.astype(jnp.float32), -BIG)
+            ss, pos = jax.lax.top_k(sc, int(ks))  # over k_max lanes only
+            found = ss > -BIG / 2
+            sel = jnp.take_along_axis(cand, pos, axis=-1)
+            first = sel[..., 0:1]
+            sel = jnp.where(found, sel, first)
+            empty = (~found[..., 0]) | ~qmc
+            idxs.append(jnp.where(empty[..., None], 0, sel).astype(jnp.int32))
+            empties.append(empty)
+        # pad each scale's idx to k_max so the map output stacks evenly
+        idx = jnp.stack([
+            jnp.pad(ix, ((0, 0), (0, 0), (0, k_max - ix.shape[-1])))
+            for ix in idxs
+        ])
+        return idx, jnp.stack(empties)
+
+    if shared_candidates:
+        idx, empty = jax.lax.map(one_chunk_shared, (q, qm))
+    else:
+        idx, empty = jax.lax.map(one_chunk_perscale, (q, qm))
     # (n_chunks, S, B, chunk, ...) -> per scale (B, M, k_s)
     idx = idx.transpose(1, 2, 0, 3, 4).reshape(S, B, M + pad, k_max)[:, :, :M]
     empty = empty.transpose(1, 2, 0, 3).reshape(S, B, M + pad)[:, :, :M]
@@ -164,14 +216,23 @@ def ball_query_group(
 
 def group_from_idx(
     xyz, new_xyz, idx, empty, features=None, use_xyz: bool = True,
-    rotate_matrix=None, xy_scale=None, z_scale=None,
+    rotate_matrix=None, xy_scale=None, z_scale=None, packed=None,
 ):
     """Gather + offset/rotate/scale grouped points given query indices
-    (the post-query half of the reference `QueryAndGroup.forward`)."""
-    grouped_xyz = jax.vmap(lambda pts, ix: pts[ix])(xyz, idx)
-    grouped_feats = None
-    if features is not None:
-        grouped_feats = jax.vmap(lambda f, ix: f[ix])(features, idx)
+    (the post-query half of the reference `QueryAndGroup.forward`).
+
+    `packed` optionally supplies a pre-concatenated [xyz, features]
+    (B, N, 3+C) table so xyz and features ride one gather (TPU gather
+    cost is per row, so separate narrow gathers double the cost)."""
+    if packed is not None:
+        g = jax.vmap(lambda t, ix: t[ix])(packed, idx)
+        grouped_xyz = g[..., :3]
+        grouped_feats = g[..., 3:] if features is not None else None
+    else:
+        grouped_xyz = jax.vmap(lambda pts, ix: pts[ix])(xyz, idx)
+        grouped_feats = None
+        if features is not None:
+            grouped_feats = jax.vmap(lambda f, ix: f[ix])(features, idx)
     offs = grouped_xyz - new_xyz[:, :, None, :]
     offs = jnp.where(empty[..., None, None], 0.0, offs)
     if rotate_matrix is not None:
@@ -227,6 +288,7 @@ class GroupMLP(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -235,7 +297,7 @@ class GroupMLP(nn.Module):
         m = jnp.broadcast_to(mask[:, :, None], (B, M, S)).reshape(-1)
         h = x.reshape(B * M * S, -1)
         for c in self.channels:
-            h = nn.Dense(c, use_bias=False)(h)
+            h = nn.Dense(c, use_bias=False, dtype=self.dtype)(h)
             from . import sparse as _sparse  # local import to avoid cycle
             h = _sparse.MaskedBatchNorm(
                 momentum=self.momentum, epsilon=self.epsilon, axis_name=self.axis_name
@@ -254,6 +316,7 @@ class PointSAModuleMSG(nn.Module):
     pool_method: str = "max_pool"
     axis_name: str | None = None
     approx_query: bool = False
+    dtype: jnp.dtype | None = None  # MLP compute dtype (params stay f32)
 
     @nn.compact
     def __call__(
@@ -265,14 +328,18 @@ class PointSAModuleMSG(nn.Module):
             xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
             approx=self.approx_query,
         )
+        packed = (
+            jnp.concatenate([xyz, features], axis=-1)
+            if features is not None else None
+        )
         for i, ((idx, empty), mlp) in enumerate(zip(queries, self.mlps)):
             grouped = group_from_idx(
                 xyz, new_xyz, idx, empty, features=features, use_xyz=self.use_xyz,
                 rotate_matrix=rotate_matrix, xy_scale=xy_scale, z_scale=z_scale,
+                packed=packed,
             )
-            h = GroupMLP(mlp, axis_name=self.axis_name, name=f"mlp_{i}")(
-                grouped, new_mask, train
-            )
+            h = GroupMLP(mlp, axis_name=self.axis_name, dtype=self.dtype,
+                         name=f"mlp_{i}")(grouped, new_mask, train)
             if self.pool_method == "max_pool":
                 h = h.max(axis=2)
             else:
