@@ -367,12 +367,14 @@ class _DenseSparseBlock(nn.Module):
             y = nn.ConvTranspose(
                 self.out_channels, self.kernel, strides=self.stride,
                 padding=[(p, p) for p in self.padding], use_bias=False,
+                dtype=jnp.bfloat16,
             )(x)
             new_mask = _dilate_mask_transpose(mask, self.kernel, self.stride, self.padding)
         else:
             y = nn.Conv(
                 self.out_channels, self.kernel, strides=self.stride,
                 padding=[(p, p) for p in self.padding], use_bias=False,
+                dtype=jnp.bfloat16,
             )(x)
             if self.submanifold:
                 new_mask = mask
@@ -429,3 +431,123 @@ class VoxelBackBoneDeconv(nn.Module):
         x = jnp.pad(x, pads + [(0, 0)])
         m = jnp.pad(m, pads)
         return x, m
+
+
+def _crop_pad_to(x, m, tgt):
+    """Crop/zero-pad (B, D, H, W, C) + mask to spatial shape `tgt`."""
+    x = x[:, : tgt[0], : tgt[1], : tgt[2]]
+    m = m[:, : tgt[0], : tgt[1], : tgt[2]]
+    pads = [(0, 0)] + [(0, tgt[i] - x.shape[1 + i]) for i in range(3)]
+    return jnp.pad(x, pads + [(0, 0)]), jnp.pad(m, pads)
+
+
+class _DenseResBlock(nn.Module):
+    """Two submanifold convs + identity skip (reference
+    `SparseBasicBlock`, `spconv_backbone.py:25-88`, dense formulation)."""
+
+    channels: int
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        h, _ = _DenseSparseBlock(
+            self.channels, submanifold=True, axis_name=self.axis_name,
+            name="conv1")(x, mask, train)
+        h, _ = _DenseSparseBlock(
+            self.channels, submanifold=True, axis_name=self.axis_name,
+            name="conv2")(h, mask, train)
+        return jnp.where(mask[..., None], h + x, 0.0), mask
+
+
+class VoxelBackBoneDeconvRes(nn.Module):
+    """Residual occ backbone (reference `VoxelBackBoneDeconvRes`,
+    `spconv_backbone.py:226-381`): residual blocks per level and lateral
+    `combine` skips on the decoder path. The reference combines sparse
+    tensors by coordinate union (`combine:306`); densely that is a
+    feature add (channel-matched via 1x1 conv) + mask OR."""
+
+    input_channels: int
+    channels: Sequence[int] = (16, 32, 64)
+    y_shift: int = 0
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        ch = list(self.channels)
+        if self.y_shift > 0:
+            s = self.y_shift
+            x = jnp.concatenate([x[:, :, -s:], x, x[:, :, :s]], axis=2)
+            mask = jnp.concatenate([mask[:, :, -s:], mask, mask[:, :, :s]], axis=2)
+        x1, m1 = _DenseSparseBlock(ch[0], axis_name=self.axis_name, name="conv1")(x, mask, train)
+        x1, m1 = _DenseResBlock(ch[0], axis_name=self.axis_name, name="res1")(x1, m1, train)
+        x2, m2 = _DenseSparseBlock(ch[1], stride=(2, 2, 2), axis_name=self.axis_name, name="conv2_0")(x1, m1, train)
+        x2, m2 = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res2")(x2, m2, train)
+        x3, m3 = _DenseSparseBlock(ch[2], stride=(2, 2, 2), axis_name=self.axis_name, name="conv3_0")(x2, m2, train)
+        x3, m3 = _DenseResBlock(ch[2], axis_name=self.axis_name, name="res3")(x3, m3, train)
+        u2, mu2 = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="deconv4_0")(x3, m3, train)
+        u2, mu2 = _crop_pad_to(u2, mu2, x2.shape[1:4])
+        u2 = jnp.where((mu2 | m2)[..., None], u2 + x2, 0.0)   # lateral combine
+        mu2 = mu2 | m2
+        u2, mu2 = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res4")(u2, mu2, train)
+        u1, mu1 = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="deconv5_0")(u2, mu2, train)
+        u1, mu1 = _crop_pad_to(u1, mu1, x1.shape[1:4])
+        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=jnp.bfloat16,
+                       name="lat1")(x1)
+        u1 = jnp.where((mu1 | m1)[..., None], u1 + lat1, 0.0)
+        mu1 = mu1 | m1
+        u1, mu1 = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res5")(u1, mu1, train)
+        if self.y_shift > 0:
+            s = self.y_shift
+            u1, mu1 = u1[:, :, s:-s], mu1[:, :, s:-s]
+        tgt = mask.shape[1:4]
+        if self.y_shift > 0:
+            tgt = (tgt[0], tgt[1] - 2 * self.y_shift, tgt[2])
+        return _crop_pad_to(u1, mu1, tgt)
+
+
+class VoxelBackBoneInverseRes(nn.Module):
+    """Inverse-conv occ backbone variant (reference
+    `VoxelBackBoneInverseRes`, `spconv_backbone.py:385-527`): the decoder
+    restores each encoder level's coordinate set (SparseInverseConv3d
+    semantics). Densely, inverting a stride-2 conv level = transpose conv
+    followed by masking to the ENCODER level's active set (exact
+    coordinate restoration, not dilation)."""
+
+    input_channels: int
+    channels: Sequence[int] = (16, 32, 64)
+    y_shift: int = 0
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        ch = list(self.channels)
+        if self.y_shift > 0:
+            s = self.y_shift
+            x = jnp.concatenate([x[:, :, -s:], x, x[:, :, :s]], axis=2)
+            mask = jnp.concatenate([mask[:, :, -s:], mask, mask[:, :, :s]], axis=2)
+        x1, m1 = _DenseSparseBlock(ch[0], axis_name=self.axis_name, name="conv1")(x, mask, train)
+        x1, m1 = _DenseResBlock(ch[0], axis_name=self.axis_name, name="res1")(x1, m1, train)
+        x2, m2 = _DenseSparseBlock(ch[1], stride=(2, 2, 2), axis_name=self.axis_name, name="conv2_0")(x1, m1, train)
+        x2, m2 = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res2")(x2, m2, train)
+        x3, m3 = _DenseSparseBlock(ch[2], stride=(2, 2, 2), axis_name=self.axis_name, name="conv3_0")(x2, m2, train)
+        x3, m3 = _DenseResBlock(ch[2], axis_name=self.axis_name, name="res3")(x3, m3, train)
+        # inverse conv back to level 2's exact active set
+        u2, _ = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="inv4")(x3, m3, train)
+        u2, _ = _crop_pad_to(u2, m2, x2.shape[1:4])
+        u2 = jnp.where(m2[..., None], u2 + x2, 0.0)
+        u2, _ = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res4")(u2, m2, train)
+        # inverse conv back to level 1's exact active set
+        u1, _ = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="inv5")(u2, m2, train)
+        u1, _ = _crop_pad_to(u1, m1, x1.shape[1:4])
+        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=jnp.bfloat16,
+                       name="lat1")(x1)
+        u1 = jnp.where(m1[..., None], u1 + lat1, 0.0)
+        u1, _ = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res5")(u1, m1, train)
+        m_out = m1
+        if self.y_shift > 0:
+            s = self.y_shift
+            u1, m_out = u1[:, :, s:-s], m_out[:, :, s:-s]
+        tgt = mask.shape[1:4]
+        if self.y_shift > 0:
+            tgt = (tgt[0], tgt[1] - 2 * self.y_shift, tgt[2])
+        return _crop_pad_to(u1, m_out, tgt)

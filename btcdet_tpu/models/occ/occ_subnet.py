@@ -62,7 +62,14 @@ class OccSubnet(nn.Module):
         self.is_softmax = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.get("CLS_LOSS_TYPE", "") == "softmax"
 
         self.vfe = vfe.MeanVFE(num_raw_features=4, maxprob=self.maxprob_vfe)
-        self.backbone = backbones_3d.VoxelBackBoneDeconv(
+        bb_name = self.model_cfg.get("BACKBONE_3D", {}).get(
+            "NAME", "VoxelBackBoneDeconv")
+        bb_cls = {
+            "VoxelBackBoneDeconv": backbones_3d.VoxelBackBoneDeconv,
+            "VoxelBackBoneDeconvRes": backbones_3d.VoxelBackBoneDeconvRes,
+            "VoxelBackBoneInverseRes": backbones_3d.VoxelBackBoneInverseRes,
+        }[bb_name]
+        self.backbone = bb_cls(
             input_channels=4, axis_name=self.axis_name, name="backbone_3d"
         )
         cls_ch = 2 if self.is_softmax else 1
