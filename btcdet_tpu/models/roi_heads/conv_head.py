@@ -231,9 +231,7 @@ class ConvHead(nn.Module):
         lz, ly, lx = self.xc_local_grid
         L = lz * ly * lx
 
-        # bf16 table: the 8 corner gathers are the branch's HBM traffic
-        dense = x_combine.dense().astype(self.compute_dtype)  # (B, nz, ny, nx, C)
-        C = dense.shape[-1]
+        C = x_combine.features.shape[-1]
 
         # local rois: center at grid point, dims scaled, same yaw
         local_rois = jnp.concatenate([
@@ -256,6 +254,8 @@ class ConvHead(nn.Module):
         bns = [_BN1d(name=f"xc_bn_{i}") for i in range(len(conv_params))]
 
         def pool_chunk(args):
+            # bf16 table: the 8 corner gathers are this path's HBM traffic
+            dense = x_combine.dense().astype(self.compute_dtype)
             pts, valid = args  # (B, nc*G, L, 3), (B, nc*G)
             tgt = (pts - lo) / vs - 0.5  # fractional grid coords (x, y, z axis order)
             zyx = jnp.stack([tgt[..., 2], tgt[..., 1], tgt[..., 0]], axis=-1)
@@ -272,6 +272,37 @@ class ConvHead(nn.Module):
                     m[:, None], (sh[0], sh[1] * sh[2] * sh[3])).reshape(-1), train)
                 g = nn.relu(gflat).reshape(sh)
             return g.reshape(B, M, -1)
+
+        # fused Pallas sampler: per-roi windowed one-hot-matmul trilinear
+        # (ops/pallas_interp.py) replaces the 8-corner gather -- the
+        # gather is this branch's dominant cost (~13 ms/frame eval)
+        from ...ops import pallas_interp
+        S = G * L
+        tile = pallas_interp.pick_tile(S)
+        if (sparse.use_pallas("interp") and C <= 128
+                and x_combine.spatial_shape[0] <= 11 and tile is not None):
+            R = B * N
+            pts_r = sample_pts.reshape(R, S, 3)
+            tgt = (pts_r - lo) / vs - 0.5
+            zyx_r = jnp.stack([tgt[..., 2], tgt[..., 1], tgt[..., 0]], -1)
+            cyx = jnp.stack([
+                (rois[..., 1] - lo[1]) / vs[1] - 0.5,
+                (rois[..., 0] - lo[0]) / vs[0] - 0.5,
+            ], axis=-1).reshape(R, 2)
+            roi_b = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+            val_r = jnp.broadcast_to(roi_valid.reshape(R)[:, None], (R, S))
+            sampled = pallas_interp.trilinear_pool_ad(
+                x_combine.dense(), jax.lax.stop_gradient(zyx_r),
+                jax.lax.stop_gradient(cyx), roi_b, val_r, tile)
+            g = sampled.astype(self.compute_dtype).reshape(R * G, lz, ly, lx, C)
+            m = jnp.broadcast_to(roi_valid.reshape(R)[:, None], (R, G)).reshape(-1)
+            for conv, bn in zip(convs, bns):
+                g = conv(g)
+                sh = g.shape
+                gflat = bn(g.reshape(-1, sh[-1]), jnp.broadcast_to(
+                    m[:, None], (sh[0], sh[1] * sh[2] * sh[3])).reshape(-1), train)
+                g = nn.relu(gflat).reshape(sh)
+            return g.reshape(B, N * G, -1)
 
         # chunk over rois to bound the (B*N*G, lz, ly, lx, C) intermediate
         # at train time (activations are kept for backward); at eval the

@@ -59,6 +59,10 @@ def proposal_layer(
         outs.append((boxes[idx], scores[idx], labels[idx], keep))
     rois, scores, labels, valid = (jnp.stack(x) for x in zip(*outs))
     rois = jnp.where(valid[..., None], rois, 0.0)
+    # the reference proposal layer runs under no_grad
+    # (roi_head_template.py:45): rois are constants to the rcnn stage
+    rois = jax.lax.stop_gradient(rois)
+    scores = jax.lax.stop_gradient(scores)
     return Proposals(rois, jnp.where(valid, scores, 0.0), labels, valid)
 
 
