@@ -156,3 +156,33 @@ def test_incremental_merge_matches_full_revoxelization():
             assert len(got[k]) == len(want[k])
         else:
             assert np.array_equal(got[k], want[k]), k
+
+
+def test_native_matches_numpy():
+    """C++ voxelizer core vs the numpy twin on random + adversarial
+    (duplicate-cell, out-of-range, overflow) clouds."""
+    from btcdet_tpu.ops import voxelizer as V
+
+    lib = V._native_voxelizer()
+    if lib is None:
+        import pytest
+        pytest.skip("g++ unavailable")
+    rng = np.random.RandomState(0)
+    pcr = [0, -4, -3, 8, 4, 1]
+    vs = [0.5, 0.5, 0.5]
+    for n, mp, mv in [(5000, 5, 200), (5000, 2, 50), (50, 5, 1000)]:
+        pts = np.concatenate([
+            rng.rand(n, 3).astype(np.float32) * [10, 10, 5] - [1, 5, 4],
+            rng.rand(n, 1).astype(np.float32),
+        ], axis=1)
+        # force collisions
+        q = n // 4
+        pts[:q, :3] = pts[q: 2 * q, :3]
+        native = V.voxelize_np(pts, pcr, vs, mp, mv)
+        V._NATIVE_LIB, keep = None, V._NATIVE_LIB
+        try:
+            ref = V.voxelize_np(pts, pcr, vs, mp, mv)
+        finally:
+            V._NATIVE_LIB = keep
+        for a, b, name in zip(native, ref, ("voxels", "coords", "num")):
+            np.testing.assert_array_equal(a, b, err_msg=name)
