@@ -70,18 +70,23 @@ def _round_up(n: int, m: int) -> int:
 def prep_table(features: jax.Array, keys: jax.Array, win: int, nblocks: int):
     """Pad + pack (N, C) features and sorted (N,) keys for the kernel.
 
-    Returns (table (NP, 128) bf16, keys_blk (NP//win, 8, 128) int32, NP).
+    The table keeps its natural channel width (padded only to a multiple
+    of 16): window DMAs read contiguous HBM, so traffic scales with the
+    real C -- padding to 128 lanes would cost 8x on the C=16 level-1
+    convs. Lane padding to 128 happens only in VMEM tiling (free).
+
+    Returns (table (NP, CP) bf16, keys_blk (NP//win, win//128, 128)
+    int32, keys_padded (NP,), NP).
     """
     N, C = features.shape
     assert C <= LANES, f"C={C} exceeds the 128-lane table"
+    CP = _round_up(C, 16)
     NP = _round_up(max(N, (nblocks + 1) * win), win)
     tab = jnp.pad(features.astype(jnp.bfloat16),
-                  ((0, NP - N), (0, LANES - C)))
+                  ((0, NP - N), (0, CP - C)))
     kp = jnp.pad(keys, (0, NP - N), constant_values=INT32_MAX)
     kb = win // LANES
-    keys_blk = jnp.pad(
-        kp.reshape(NP // win, kb, LANES), ((0, 0), (0, 8 - kb), (0, 0)),
-        constant_values=INT32_MAX)
+    keys_blk = kp.reshape(NP // win, kb, LANES)
     return tab, keys_blk, kp, NP
 
 
@@ -297,6 +302,8 @@ def _fused_call(table, keys_blk, qk, starts_blk, weights, *, mode, G, TPG,
     C = weights.shape[2] if mode == "conv" else table.shape[1]
     if mode != "conv":
         C = CO  # pooling: in channels == out channels
+    CP = table.shape[1]
+    kb = WIN // LANES
 
     # dual-anchor: blocks [0, NBA) index off the A starts (first half of
     # the prefetch array), blocks [NBA, NB) off the B starts (second half)
@@ -308,14 +315,14 @@ def _fused_call(table, keys_blk, qk, starts_blk, weights, *, mode, G, TPG,
             idx = lambda t, g, s, nb=nb: (s[g * tiles + t] + nb, 0)
         else:
             idx = lambda t, g, s, nb=nb: (s[gt_off + g * tiles + t] + nb - NBA, 0)
-        return pl.BlockSpec((WIN, LANES), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((WIN, CP), idx, memory_space=pltpu.VMEM)
 
     def key_spec(nb):
         if nb < NBA:
             idx = lambda t, g, s, nb=nb: (s[g * tiles + t] + nb, 0, 0)
         else:
             idx = lambda t, g, s, nb=nb: (s[gt_off + g * tiles + t] + nb - NBA, 0, 0)
-        return pl.BlockSpec((1, 8, LANES), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, kb, LANES), idx, memory_space=pltpu.VMEM)
 
     in_specs = [tab_spec(nb) for nb in range(NB)]
     in_specs += [key_spec(nb) for nb in range(NB)]
