@@ -291,6 +291,151 @@ def _make_kernel(mode: str, G: int, TPG: int, T: int, WIN: int, NB: int,
     return kern
 
 
+def _make_kernel_dw(G: int, TPG: int, T: int, WIN: int, NB: int,
+                    CP: int, CO: int, tiles: int):
+    """Weight-gradient kernel: accumulates dW[g, j] = AL_j^T @ g_out over
+    all tiles of one tap group (grid is (G, tiles), tiles innermost, so
+    the per-group output block stays resident while its tiles stream)."""
+    kb = WIN // LANES
+
+    def kern(s_ref, *refs):
+        tabs = refs[:NB]
+        keybs = refs[NB:2 * NB]
+        qk_ref = refs[2 * NB]
+        g_ref = refs[2 * NB + 1]
+        out_ref = refs[2 * NB + 2]
+        acc = refs[2 * NB + 3]
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros((TPG, CP, CO), jnp.float32)
+
+        win = jnp.concatenate([tb[:, :CP] for tb in tabs], axis=0)
+        gt = g_ref[...].astype(jnp.bfloat16)         # (T, CO)
+        for j in range(TPG):
+            q = qk_ref[0, :, j]
+            onehot = _build_onehot(q, keybs, kb, NB)
+            al = jax.lax.dot_general(
+                onehot, win, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (T, CP)
+            # contract over T (transposed matmul on the MXU)
+            dwj = jax.lax.dot_general(
+                al.astype(jnp.bfloat16), gt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (CP, CO)
+            acc[j] = acc[j] + dwj
+
+        @pl.when(t == tiles - 1)
+        def _():
+            out_ref[0] = acc[:]
+
+    return kern
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "TPG", "T", "WIN", "NB", "CO", "interpret"),
+)
+def _fused_call_dw(table, keys_blk, qk, starts_blk, g_out, *, G, TPG,
+                   T, WIN, NB, CO, interpret=False):
+    """dW for one conv: returns (G, TPG, CP, CO) f32."""
+    MP = qk.shape[1]
+    tiles = MP // T
+    CP = table.shape[1]
+    kb = WIN // LANES
+    NBA = NB // 2
+    gt_off = G * tiles
+
+    def tab_spec(nb):
+        if nb < NBA:
+            idx = lambda g, t, s, nb=nb: (s[g * tiles + t] + nb, 0)
+        else:
+            idx = lambda g, t, s, nb=nb: (s[gt_off + g * tiles + t] + nb - NBA, 0)
+        return pl.BlockSpec((WIN, CP), idx, memory_space=pltpu.VMEM)
+
+    def key_spec(nb):
+        if nb < NBA:
+            idx = lambda g, t, s, nb=nb: (s[g * tiles + t] + nb, 0, 0)
+        else:
+            idx = lambda g, t, s, nb=nb: (s[gt_off + g * tiles + t] + nb - NBA, 0, 0)
+        return pl.BlockSpec((1, kb, LANES), idx, memory_space=pltpu.VMEM)
+
+    in_specs = [tab_spec(nb) for nb in range(NB)]
+    in_specs += [key_spec(nb) for nb in range(NB)]
+    in_specs.append(pl.BlockSpec((1, T, TAP_PAD), lambda g, t, s: (g, t, 0),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((T, CO), lambda g, t, s: (t, 0),
+                                 memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TPG, CP, CO), lambda g, t, s: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TPG, CP, CO), jnp.float32)],
+    )
+    kern = _make_kernel_dw(G, TPG, T, WIN, NB, CP, CO, tiles)
+    return pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((G, TPG, CP, CO), jnp.float32),
+        grid_spec=grid_spec, interpret=interpret,
+    )(starts_blk, *([table] * NB + [keys_blk] * NB + [qk, g_out]))
+
+
+def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
+                  M, interpret=False):
+    """Backward of a submanifold fused conv.
+
+    df: a subm conv's transpose is itself a subm conv over the SAME
+    query-key structure -- tap (dz,dy,dx) of the transpose equals tap
+    (-dz,-dy,-dx) forward -- so df = fused conv of g_out with
+    tap-reversed, transposed weights, reusing the forward qk verbatim.
+    dW[k] = AL_k^T @ g_out via the dw kernel. No rulebooks anywhere.
+    """
+    K, Cin, CO = weights.shape
+    w_rev = jnp.transpose(weights[::-1], (0, 2, 1))          # (K, CO, Cin)
+    df = _conv_fwd(g_out, keys, qk, w_rev, G=G, TPG=TPG, T=T, WIN=WIN,
+                   NB=NB, M=M, interpret=interpret)
+    # dw windows gather FEATURES; g streams per tile
+    ftab, fkeys_blk, fkp, _ = prep_table(features, keys, WIN, NB)
+    fstarts = window_starts(fkp, qk, WIN, T, NB // 2, NB - NB // 2)
+    MP = qk.shape[1]
+    gp = jnp.pad(g_out.astype(jnp.float32), ((0, MP - g_out.shape[0]), (0, 0)))
+    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, gp, G=G, TPG=TPG,
+                        T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
+    dw = dw.reshape(K, -1, CO)[:, :Cin, :]
+    return df, dw
+
+
+def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
+                     in_coords, in_valid, out_spatial_shape, batch_size,
+                     kernel_size, stride, padding, *, G, TPG, T, WIN, NB,
+                     interpret=False):
+    """Backward of a strided fused conv.
+
+    df[i] = sum_k g[(i + p - off_k) / s] @ W_k^T -- the transpose-conv
+    query structure (`qkeys_conv(transpose=True)`) over the OUT-sorted g
+    table with per-tap transposed (NOT tap-reversed) weights.
+    dW[k] = AL_k^T @ g over the forward query keys. No rulebooks.
+    """
+    K, Cin, CO = weights.shape
+    qk_t, Gt, TPGt = qkeys_conv(
+        in_coords, in_valid, out_spatial_shape, batch_size,
+        kernel_size, stride, padding, T, transpose=True)
+    w_t = jnp.transpose(weights, (0, 2, 1))                  # (K, CO, Cin)
+    df = _conv_fwd(g_out, out_keys, qk_t, w_t, G=Gt, TPG=TPGt, T=T,
+                   WIN=WIN, NB=NB, M=features.shape[0], interpret=interpret)
+    ftab, fkeys_blk, fkp, _ = prep_table(features, in_keys, WIN, NB)
+    fstarts = window_starts(fkp, qk, WIN, T, NB // 2, NB - NB // 2)
+    MP = qk.shape[1]
+    gp = jnp.pad(g_out.astype(jnp.float32), ((0, MP - g_out.shape[0]), (0, 0)))
+    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, gp, G=G, TPG=TPG,
+                        T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
+    dw = dw.reshape(K, -1, CO)[:, :Cin, :]
+    return df, dw
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "G", "TPG", "T", "WIN", "NB", "CO", "interpret"),

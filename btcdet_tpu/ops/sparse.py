@@ -779,6 +779,79 @@ def _chunked_pallas_conv(features, keys, qk, weights, G, TPG, T, WIN, NB, M):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_subm_ad(cfg, features, weights, qk, in_keys):
+    """Fully-Pallas submanifold conv: forward AND backward run the
+    windowed sorted-match kernels -- no XLA rulebook is built at all
+    (the transpose of a subm conv is a subm conv with tap-reversed,
+    transposed weights over the same query keys; dW accumulates
+    AL^T @ g in the dw kernel)."""
+    G, TPG, T, WIN, NB, M = cfg
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+
+
+def _pallas_subm_ad_fwd(cfg, features, weights, qk, in_keys):
+    out = _pallas_subm_ad(cfg, features, weights, qk, in_keys)
+    return out, (features, weights, qk, in_keys)
+
+
+def _pallas_subm_ad_bwd(cfg, res, g):
+    G, TPG, T, WIN, NB, M = cfg
+    features, weights, qk, in_keys = res
+    Cin = features.shape[1]
+    dfs, dws = [], []
+    for c0 in range(0, Cin, 128):
+        c1 = min(c0 + 128, Cin)
+        df_c, dw_c = pallas_conv.subm_conv_bwd(
+            features[:, c0:c1], in_keys, qk, weights[:, c0:c1, :], g,
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M)
+        dfs.append(df_c)
+        dws.append(dw_c)
+    df = jnp.concatenate(dfs, axis=1) if len(dfs) > 1 else dfs[0]
+    dw = jnp.concatenate(dws, axis=1) if len(dws) > 1 else dws[0]
+    return df, dw, None, None
+
+
+_pallas_subm_ad.defvjp(_pallas_subm_ad_fwd, _pallas_subm_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_strided_ad(cfg, features, weights, qk, in_keys, out_keys, in_coords):
+    """Fully-Pallas strided conv: backward runs the transpose-query conv
+    + dw kernels (see pallas_conv.strided_conv_bwd) -- no XLA rulebook.
+    cfg = (G, TPG, T, WIN, NB, M, out_shape, batch, kernel, stride, pad).
+    """
+    G, TPG, T, WIN, NB, M = cfg[:6]
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+
+
+def _pallas_strided_ad_fwd(cfg, features, weights, qk, in_keys, out_keys, in_coords):
+    out = _pallas_strided_ad(cfg, features, weights, qk, in_keys, out_keys, in_coords)
+    return out, (features, weights, qk, in_keys, out_keys, in_coords)
+
+
+def _pallas_strided_ad_bwd(cfg, res, g):
+    G, TPG, T, WIN, NB, M, out_shape, batch, k, s, p = cfg
+    features, weights, qk, in_keys, out_keys, in_coords = res
+    in_valid = in_keys != INT32_MAX
+    Cin = features.shape[1]
+    dfs, dws = [], []
+    for c0 in range(0, Cin, 128):
+        c1 = min(c0 + 128, Cin)
+        df_c, dw_c = pallas_conv.strided_conv_bwd(
+            features[:, c0:c1], in_keys, qk, weights[:, c0:c1, :], g,
+            out_keys, in_coords, in_valid, out_shape, batch, k, s, p,
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB)
+        dfs.append(df_c)
+        dws.append(dw_c)
+    df = jnp.concatenate(dfs, axis=1) if len(dfs) > 1 else dfs[0]
+    dw = jnp.concatenate(dws, axis=1) if len(dws) > 1 else dws[0]
+    return df, dw, None, None, None, None
+
+
+_pallas_strided_ad.defvjp(_pallas_strided_ad_fwd, _pallas_strided_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _pallas_conv_ad(cfg, features, weights, qk, in_keys, rb_idx, rb_found):
     G, TPG, T, WIN, NB, M = cfg
     return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
@@ -910,11 +983,8 @@ class SubMConv3d(nn.Module):
         if use_pallas("subm") and _pallas_supported(self.kernel_size, self.out_channels):
             T, WIN, NB = _PALLAS_SUBM_CFG
             qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
-            # XLA rulebook only feeds the custom-vjp backward (DCE'd in eval)
-            in_idx, found = subm_rulebook(st, self.kernel_size, cache)
-            out = _pallas_conv_ad(
-                (G, TPG, T, WIN, NB, st.capacity),
-                st.features, w, qk, st.keys, in_idx, found)
+            out = _pallas_subm_ad(
+                (G, TPG, T, WIN, NB, st.capacity), st.features, w, qk, st.keys)
         else:
             grouped = _use_grouped(self.kernel_size)
             rb_key = ("subm_g" if grouped else "subm", self.indice_key)
@@ -971,12 +1041,14 @@ class SparseConv3d(nn.Module):
             qk, G, TPG = _pallas_conv_qk(
                 st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
                 self.padding, cache, self.indice_key, T)
-            in_idx, found = _get_conv_rulebook(
-                cache, self.indice_key, st, coords, keys != INT32_MAX,
-                self.kernel_size, self.stride, self.padding, False)
-            out = _pallas_conv_ad(
-                (G, TPG, T, WIN, NB, keys.shape[0]),
-                st.features, w, qk, st.keys, in_idx, found)
+            out_shape = _conv_out_shape(
+                st.spatial_shape, self.kernel_size, self.stride, self.padding)
+            out = _pallas_strided_ad(
+                (G, TPG, T, WIN, NB, keys.shape[0],
+                 tuple(int(x) for x in out_shape), st.batch_size,
+                 _triple(self.kernel_size), _triple(self.stride),
+                 _triple(self.padding)),
+                st.features, w, qk, st.keys, keys, st.coords)
         else:
             grouped = _use_grouped(self.kernel_size)
             rb = _get_conv_rulebook(

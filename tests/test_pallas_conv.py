@@ -120,6 +120,82 @@ def test_window_coverage_diagnostic():
     assert int(P.span_overflow(kp, qk, starts, WIN, nba, nbb, T)) == 0
 
 
+def test_pallas_subm_full_backward_matches_engine():
+    """The rulebook-free subm backward (df via tap-reversed conv, dW via
+    the dw kernel) vs gradients of the bf16-matched XLA expression."""
+    st = make_st(seed=12, n=1500)
+    C, CO = 16, 16
+    rng = np.random.RandomState(13)
+    w = jnp.asarray((rng.randn(27, C, CO) * 0.1).astype(np.float32))
+    in_idx, found = S.subm_rulebook(st, 3)
+    qk, G, TPG = P.qkeys_subm(
+        st.coords, st.valid, st.spatial_shape, st.batch_size, 3, 256)
+
+    def pal_loss(f, ww):
+        out = S._pallas_subm_ad((G, TPG, 256, 128, 6, st.capacity),
+                                f, ww, qk, st.keys)
+        return (out ** 2).sum()
+
+    def ref_loss(f, ww):
+        out = S.apply_rulebook_matmul(
+            f.astype(jnp.bfloat16).astype(jnp.float32), in_idx, found,
+            ww.astype(jnp.bfloat16).astype(jnp.float32))
+        return (out ** 2).sum()
+
+    orig = P._fused_call
+    orig_dw = P._fused_call_dw
+    try:
+        P._fused_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        P._fused_call_dw = lambda *a, **k: orig_dw(*a, **{**k, "interpret": True})
+        gf, gw = jax.grad(pal_loss, argnums=(0, 1))(st.features, w)
+    finally:
+        P._fused_call = orig
+        P._fused_call_dw = orig_dw
+    gf_r, gw_r = jax.grad(ref_loss, argnums=(0, 1))(st.features, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=0.3, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=0.5, rtol=0.1)
+
+
+def test_pallas_strided_full_backward_matches_engine():
+    """Rulebook-free strided backward (transpose-query df + dw kernel)
+    vs gradients of the bf16-matched XLA expression."""
+    st = make_st(seed=14, n=2000)
+    C, CO = 16, 24
+    rng = np.random.RandomState(15)
+    w = jnp.asarray((rng.randn(27, C, CO) * 0.1).astype(np.float32))
+    keys, coords, nnz, out_shape = S.conv_output_sites(st, 3, 2, 1, st.capacity)
+    in_idx, found = S.conv_rulebook(st, coords, keys != S.INT32_MAX, 3, 2, 1)
+    T = 128
+    qk, G, TPG = P.qkeys_conv(
+        coords, keys != S.INT32_MAX, st.spatial_shape, st.batch_size, 3, 2, 1, T)
+    cfg = (G, TPG, T, 128, 6, keys.shape[0],
+           tuple(int(x) for x in out_shape), st.batch_size,
+           (3, 3, 3), (2, 2, 2), (1, 1, 1))
+
+    def pal_loss(f, ww):
+        out = S._pallas_strided_ad(cfg, f, ww, qk, st.keys, keys, st.coords)
+        return (out ** 2).sum()
+
+    def ref_loss(f, ww):
+        out = S.apply_rulebook_matmul(
+            f.astype(jnp.bfloat16).astype(jnp.float32), in_idx, found,
+            ww.astype(jnp.bfloat16).astype(jnp.float32))
+        return (out ** 2).sum()
+
+    orig = P._fused_call
+    orig_dw = P._fused_call_dw
+    try:
+        P._fused_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        P._fused_call_dw = lambda *a, **k: orig_dw(*a, **{**k, "interpret": True})
+        gf, gw = jax.grad(pal_loss, argnums=(0, 1))(st.features, w)
+    finally:
+        P._fused_call = orig
+        P._fused_call_dw = orig_dw
+    gf_r, gw_r = jax.grad(ref_loss, argnums=(0, 1))(st.features, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=0.3, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=0.5, rtol=0.1)
+
+
 def test_pallas_conv_ad_gradients_match_engine():
     st = make_st(seed=8, n=1500)
     C, CO = 16, 16
