@@ -197,7 +197,7 @@ class OccSubnet(nn.Module):
         fore_mask = T.scatter_mask(pcoords, fore_p, B, grid)
         fore_res = T.scatter_mean_res(
             pts, pcoords, fore_p, self._centers_world(rot_z, B), B, grid
-        )
+        ) if train else None
 
         mirr_occ = T.world_to_occ_coords(mirr_pts, rot_z[pb], spec)
         mirr_cell, mirr_inr = T.points_to_grid_coords(mirr_occ, spec)
@@ -206,11 +206,14 @@ class OccSubnet(nn.Module):
         )  # (b, z, y, x)
         mirr_ok = mirr_val & mirr_inr
         mirr_mask = T.scatter_mask(mirr_coords, mirr_ok, B, grid)
-        mirr_res = T.scatter_mean_res(
-            mirr_pts, mirr_coords, mirr_ok, self._centers_world(rot_z, B), B, grid
-        )
         mirr_mask = mirr_mask & ~voxelwise
-        mirr_res = mirr_res * (~voxelwise[..., None])
+        if train:
+            mirr_res = T.scatter_mean_res(
+                mirr_pts, mirr_coords, mirr_ok, self._centers_world(rot_z, B), B, grid
+            )
+            mirr_res = mirr_res * (~voxelwise[..., None])
+        else:
+            mirr_res = None
 
         # bm points
         bm_pts = batch.get("bm_points")
@@ -226,19 +229,22 @@ class OccSubnet(nn.Module):
             bm_coords = jnp.concatenate([bmb[:, None], bm_cell[:, ::-1]], axis=1)
             bm_ok = in_gt & bm_inr
             bm_mask = T.scatter_mask(bm_coords, bm_ok, B, grid)
-            bm_res = T.scatter_mean_res(
-                bmp, bm_coords, bm_ok, self._centers_world(rot_z, B), B, grid
-            )
             excl = (~voxelwise) & (~mirr_mask)
             bm_mask = bm_mask & excl
-            bm_res = bm_res * excl[..., None]
+            if train:
+                bm_res = T.scatter_mean_res(
+                    bmp, bm_coords, bm_ok, self._centers_world(rot_z, B), B, grid
+                )
+                bm_res = bm_res * excl[..., None]
+            else:
+                bm_res = None
         else:
             bm_mask = jnp.zeros_like(voxelwise)
-            bm_res = jnp.zeros(voxelwise.shape + (3,), jnp.float32)
+            bm_res = jnp.zeros(voxelwise.shape + (3,), jnp.float32) if train else None
 
-        # forebox label (BOX_WEIGHT != 1)
+        # forebox label (BOX_WEIGHT != 1); loss-only, so skipped at eval
         forebox = None
-        if self.box_weight != 1.0:
+        if self.box_weight != 1.0 and train:
             cw = self._centers_world(rot_z, B)  # (B, nz, ny, nx, 3)
 
             def boxes_of(cw_f, gt_f, gv_f):
@@ -256,22 +262,31 @@ class OccSubnet(nn.Module):
         pos = fore_cls | mirr_cls | bm_cls
         neg = general_cls & ~pos
         w = self.w
-        cls_f = (
-            fore_cls * w["occ_fore_cls_weight"]
-            + mirr_cls * w["occ_mirr_cls_weight"]
-            + bm_cls * w["occ_bm_cls_weight"]
-            + neg * w["occ_neg_cls_weight"]
-        ).astype(jnp.float32)
-        if forebox is not None:
-            cls_f = cls_f + (neg & forebox) * (self.box_weight - w["occ_neg_cls_weight"])
+        if train:
+            cls_f = (
+                fore_cls * w["occ_fore_cls_weight"]
+                + mirr_cls * w["occ_mirr_cls_weight"]
+                + bm_cls * w["occ_bm_cls_weight"]
+                + neg * w["occ_neg_cls_weight"]
+            ).astype(jnp.float32)
+            if forebox is not None:
+                cls_f = cls_f + (neg & forebox) * (self.box_weight - w["occ_neg_cls_weight"])
 
-        reg_f = (
-            fore_cls * w.get("occ_fore_res_weight", 0.1)
-            + mirr_cls * w.get("occ_mirr_res_weight", 0.1)
-            + bm_cls * w.get("occ_bm_res_weight", 0.1)
-        ).astype(jnp.float32)
-        reg_m = reg_f > 0
-        res_mtrx = (fore_res + mirr_res + bm_res) * reg_m[..., None]
+            reg_f = (
+                fore_cls * w.get("occ_fore_res_weight", 0.1)
+                + mirr_cls * w.get("occ_mirr_res_weight", 0.1)
+                + bm_cls * w.get("occ_bm_res_weight", 0.1)
+            ).astype(jnp.float32)
+            reg_m = reg_f > 0
+            res_mtrx = (fore_res + mirr_res + bm_res) * reg_m[..., None]
+        else:
+            # Loss-weight maps and residual targets feed only the training
+            # loss (reference prepare_cls/reg_loss_map run at eval too, but
+            # their outputs are unused there); skip them to keep the eval
+            # step lean. pos/neg masks stay: eval P/R/F1 diagnostics read
+            # them (train/eval_utils.py).
+            cls_f = reg_f = res_mtrx = None
+            reg_m = None
 
         return {
             "voxelwise_mask": voxelwise,
@@ -346,13 +361,10 @@ class OccSubnet(nn.Module):
         flat = masked_prob.reshape(B, -1)
         sel = jnp.where(flat > self.occ_thresh, flat, 0.0)  # train thresh always
         K = min(K, flat.shape[1])
-        if K > 4096:
-            # full sort beats lax.top_k for large k on TPU
-            order = jnp.argsort(-sel, axis=1)[:, :K]
-            top_prob = jnp.take_along_axis(sel, order, axis=1)
-            top_idx = order
-        else:
-            top_prob, top_idx = jax.lax.top_k(sel, K)
+        # exact lax.top_k wins at every K here (at K=40000 over 295k
+        # cells: top_k 5.7 ms vs full argsort 51 ms vs radix-select
+        # compaction 24 ms -- tools/microbench_topk.py)
+        top_prob, top_idx = jax.lax.top_k(sel, K)
         valid = (top_prob > 0) & use_gate[:, None]
 
         zc = top_idx // (ny * nx)

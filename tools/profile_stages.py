@@ -135,6 +135,7 @@ def main(mode="test"):
         return out["encoded"].features
 
     static_store = {}  # name -> (static vals, is_array mask); filled at trace time
+    key_store = {}     # name -> original (possibly nested-tuple) cache key
 
     def _is_arr(x):
         return hasattr(x, "dtype")
@@ -149,7 +150,8 @@ def main(mode="test"):
             for k, vals in cache.items():
                 if not isinstance(vals, tuple):
                     vals = tuple(vals)
-                name = "|".join(k)
+                name = "|".join(str(x) for x in k)
+                key_store[name] = k
                 static_store[name] = (
                     tuple(x for x in vals if not _is_arr(x)),
                     tuple(_is_arr(x) for x in vals),
@@ -172,7 +174,7 @@ def main(mode="test"):
                     merged.append(avals[ai]); ai += 1
                 else:
                     merged.append(stat[si]); si += 1
-            cache[tuple(name.split("|"))] = tuple(merged)
+            cache[key_store[name]] = tuple(merged)
         return cache
 
     def timed_build(v, b):
