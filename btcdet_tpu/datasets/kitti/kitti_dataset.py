@@ -334,5 +334,6 @@ class KittiDataset:
         eval_det_annos = copy.deepcopy(det_annos)
         eval_gt_annos = [copy.deepcopy(info["annos"]) for info in self.kitti_infos]
         return kitti_eval.get_official_eval_result(
-            eval_gt_annos, eval_det_annos, class_names
+            eval_gt_annos, eval_det_annos, class_names,
+            coverage_rates=kwargs.get("coverage_rates"),
         )

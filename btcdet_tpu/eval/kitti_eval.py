@@ -49,8 +49,16 @@ MAX_OCCLUSION = [0, 1, 2]
 MAX_TRUNCATION = [0.15, 0.3, 0.5]
 
 
-def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
-    """Official per-image filtering (reference `eval.py:34-90`)."""
+def clean_data(gt_anno, dt_anno, current_class: int, difficulty):
+    """Official per-image filtering (reference `eval.py:34-90`).
+
+    `difficulty` is an int (0/1/2 = easy/moderate/hard) or a 2-list
+    `[lo, hi)` coverage-rate bucket (the BtcDet fork's extension,
+    reference `eval.py:55-57`): in bucket mode a gt whose
+    `coverage_rates` falls inside the bucket is moved to the ignored
+    class (reference semantics preserved verbatim), and dt boxes use the
+    'hard' min-height filter (reference `eval.py:80-81`)."""
+    cvrg_bucket = isinstance(difficulty, (list, tuple)) and len(difficulty) == 2
     dc_bboxes, ignored_gt, ignored_dt = [], [], []
     current_cls_name = CLASS_NAMES[current_class].lower()
     num_gt = len(gt_anno["name"])
@@ -67,11 +75,15 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
             valid_class = 0
         elif current_cls_name == "car" and gt_name == "van":
             valid_class = 0
-        ignore = (
-            gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
-            or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
-            or height <= MIN_HEIGHTS[difficulty]
-        )
+        if cvrg_bucket:
+            cvrg = float(np.asarray(gt_anno["coverage_rates"][i]).reshape(-1)[0])
+            ignore = difficulty[0] <= cvrg < difficulty[1]
+        else:
+            ignore = (
+                gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
+                or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
+                or height <= MIN_HEIGHTS[difficulty]
+            )
         if valid_class == 1 and not ignore:
             ignored_gt.append(0)
             num_valid_gt += 1
@@ -81,10 +93,11 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
             ignored_gt.append(-1)
         if gt_anno["name"][i] == "DontCare":
             dc_bboxes.append(bbox)
+    dt_difficulty = 2 if cvrg_bucket else difficulty
     for i in range(num_dt):
         valid_class = 1 if dt_anno["name"][i].lower() == current_cls_name else -1
         height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
-        if height < MIN_HEIGHTS[difficulty]:
+        if height < MIN_HEIGHTS[dt_difficulty]:
             ignored_dt.append(1)
         elif valid_class == 1:
             ignored_dt.append(0)
@@ -451,8 +464,10 @@ def create_details(current_classes, pc, rc, difficultys=None):
 
 
 def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False,
-            pr_rc_details=None):
-    difficultys = [0, 1, 2]
+            pr_rc_details=None, coverage_rates=None):
+    """`coverage_rates`: optional list of `[lo, hi)` coverage buckets that
+    replaces the standard 0/1/2 difficulty axis (reference `eval.py:597`)."""
+    difficultys = [0, 1, 2] if coverage_rates is None else coverage_rates
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0, min_overlaps,
                      compute_aos)
     mAP_bbox = get_mAP(ret["precision"])
@@ -477,12 +492,17 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False
             mAP_bbox_R40, mAP_bev_R40, mAP_3d_R40, mAP_aos_R40)
 
 
-def get_official_eval_result(gt_annos, dt_annos, current_classes):
+def get_official_eval_result(gt_annos, dt_annos, current_classes, coverage_rates=None):
     """reference `eval.py:685`. Returns (result_str, result_dict,
     pr_rc_details) — the third element holds per-class precision /
     real-recall curves for 'bev' and '3d' at the 0.7-overlap setting
     (reference `eval.py:720,803`), consumed by
-    tools/visual_utils/visualize_pcrc_curve.py via `pc_rc.pkl`."""
+    tools/visual_utils/visualize_pcrc_curve.py via `pc_rc.pkl`.
+
+    `coverage_rates`: optional list of `[lo, hi)` best-match coverage
+    buckets replacing the easy/moderate/hard axis (the BtcDet fork's
+    shape-coverage evaluation; gt annos must then carry
+    `coverage_rates` from `create_kitti_infos_with_coverage`)."""
     overlap_0_7 = np.array([
         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
@@ -517,6 +537,7 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
         ret = do_eval(
             gt_annos, dt_annos, current_classes_int, min_overlaps[k][None], compute_aos,
             pr_rc_details=pr_rc_details if k == 0 else None,
+            coverage_rates=coverage_rates,
         )
         mAPbbox.append(ret[0])
         mAPbev.append(ret[1])
@@ -527,24 +548,32 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
         mAP3d_R40.append(ret[6])
         mAPaos_R40.append(ret[7])
 
+    if coverage_rates is None:
+        diff_names = ["easy", "moderate", "hard"]
+    else:
+        diff_names = [f"cvrg_{lo}_{hi}" for lo, hi in coverage_rates]
+
+    def fmt(m):
+        return ", ".join("%.4f" % v for v in m)
+
     for j, curcls in enumerate(current_classes_int):
         cls_name = CLASS_NAMES[curcls].capitalize()
         for k in range(min_overlaps.shape[0]):
             ov = min_overlaps[k, :, j]
             result += f"{cls_name} AP@{ov[0]:.2f}, {ov[1]:.2f}, {ov[2]:.2f}:\n"
-            result += "bbox AP:%.4f, %.4f, %.4f\n" % tuple(mAPbbox[k][j, :, 0])
-            result += "bev  AP:%.4f, %.4f, %.4f\n" % tuple(mAPbev[k][j, :, 0])
-            result += "3d   AP:%.4f, %.4f, %.4f\n" % tuple(mAP3d[k][j, :, 0])
+            result += "bbox AP:%s\n" % fmt(mAPbbox[k][j, :, 0])
+            result += "bev  AP:%s\n" % fmt(mAPbev[k][j, :, 0])
+            result += "3d   AP:%s\n" % fmt(mAP3d[k][j, :, 0])
             if compute_aos and mAPaos[k] is not None:
-                result += "aos  AP:%.2f, %.2f, %.2f\n" % tuple(mAPaos[k][j, :, 0])
+                result += "aos  AP:%s\n" % fmt(mAPaos[k][j, :, 0])
             result += f"{cls_name} AP_R40@{ov[0]:.2f}, {ov[1]:.2f}, {ov[2]:.2f}:\n"
-            result += "bbox AP:%.4f, %.4f, %.4f\n" % tuple(mAPbbox_R40[k][j, :, 0])
-            result += "bev  AP:%.4f, %.4f, %.4f\n" % tuple(mAPbev_R40[k][j, :, 0])
-            result += "3d   AP:%.4f, %.4f, %.4f\n" % tuple(mAP3d_R40[k][j, :, 0])
+            result += "bbox AP:%s\n" % fmt(mAPbbox_R40[k][j, :, 0])
+            result += "bev  AP:%s\n" % fmt(mAPbev_R40[k][j, :, 0])
+            result += "3d   AP:%s\n" % fmt(mAP3d_R40[k][j, :, 0])
             if compute_aos and mAPaos_R40[k] is not None:
-                result += "aos  AP:%.2f, %.2f, %.2f\n" % tuple(mAPaos_R40[k][j, :, 0])
+                result += "aos  AP:%s\n" % fmt(mAPaos_R40[k][j, :, 0])
             if k == 0:
-                for d, dname in enumerate(["easy", "moderate", "hard"]):
+                for d, dname in enumerate(diff_names):
                     ret_dict[f"{cls_name}_3d/{dname}_R40"] = mAP3d_R40[k][j, d, 0]
                     ret_dict[f"{cls_name}_bev/{dname}_R40"] = mAPbev_R40[k][j, d, 0]
                     ret_dict[f"{cls_name}_image/{dname}_R40"] = mAPbbox_R40[k][j, d, 0]

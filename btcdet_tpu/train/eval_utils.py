@@ -156,7 +156,12 @@ def eval_one_epoch(
                 f"recall_roi_{t}: {recall_dict.get(f'roi_{t}', 0) / gt_cnt:.4f}  "
                 f"recall_rcnn_{t}: {recall_dict.get(f'rcnn_{t}', 0) / gt_cnt:.4f}"
             )
-    result_str, result_dict, pr_rc_details = dataset.evaluation(det_annos, class_names)
+    # coverage-bucket difficulty axis (reference eval_utils.py:179
+    # CVRG_RATES); needs kitti_cvrg_infos_* gt annos
+    result_str, result_dict, pr_rc_details = dataset.evaluation(
+        det_annos, class_names,
+        coverage_rates=post_cfg.get("CVRG_RATES", None),
+    )
     if result_dir is not None and pr_rc_details:
         # PR-curve detail export read by visualize_pcrc_curve.py
         # (reference eval_utils.py:175-192 pc_rc.pkl)

@@ -57,6 +57,28 @@ def onecycle_momentum(moms, total_steps: int, pct_start: float):
     return sched
 
 
+def with_cosine_warmup(sched, opt_cfg, total_steps: int):
+    """Wrap `sched` with the reference's CosineWarmupLR
+    (`learning_schedules_fastai.py:84-93` + `optimization/__init__.py:68-72`):
+    for the first WARMUP_EPOCH epochs the lr ramps LR/DIV_FACTOR -> LR on a
+    cosine, then the main schedule takes over. Applies only when
+    `LR_WARMUP: True` (non-onecycle optimizers)."""
+    if not bool(opt_cfg.get("LR_WARMUP", False)):
+        return sched
+    lr = float(opt_cfg.LR)
+    eta_min = lr / float(opt_cfg.get("DIV_FACTOR", 10.0))
+    epochs = max(int(opt_cfg.get("NUM_EPOCHS", 1)), 1)
+    spe = max(total_steps // epochs, 1)
+    warm = max(int(opt_cfg.get("WARMUP_EPOCH", 1)) * spe, 1)
+
+    def wrapped(step):
+        t = jnp.clip(step / warm, 0.0, 1.0)
+        w = eta_min + (lr - eta_min) * 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+        return jnp.where(step < warm, w, sched(step))
+
+    return wrapped
+
+
 def _kernel_mask(params):
     """True for conv/dense kernels (weight decay applies); False for
     biases / norm scales (the fastai bn-bias split)."""
@@ -87,7 +109,9 @@ def build_optimizer(opt_cfg, total_steps: int):
             chain.append(optax.add_decayed_weights(wd, mask=_kernel_mask))
         chain.append(optax.scale_by_schedule(lambda s: -lr_sched(s)))
     elif name == "adam_cosine":
-        sched = optax.cosine_decay_schedule(lr, total_steps, alpha=1e-4)
+        sched = with_cosine_warmup(
+            optax.cosine_decay_schedule(lr, total_steps, alpha=1e-4),
+            opt_cfg, total_steps)
         chain.append(optax.scale_by_adam())
         if wd > 0:
             chain.append(optax.add_decayed_weights(wd, mask=_kernel_mask))
@@ -97,9 +121,12 @@ def build_optimizer(opt_cfg, total_steps: int):
         decay = float(opt_cfg.get("LR_DECAY", 0.1))
         spe = max(total_steps // max(int(opt_cfg.get("NUM_EPOCHS", 1)), 1), 1)
         bounds = {s * spe: decay for s in decay_steps}
-        sched = optax.piecewise_constant_schedule(lr, bounds)
+        step_sched = optax.piecewise_constant_schedule(lr, bounds)
+        sched = with_cosine_warmup(
+            lambda s: jnp.maximum(step_sched(s), float(opt_cfg.get("LR_CLIP", 0.0))),
+            opt_cfg, total_steps)
         chain.append(optax.scale_by_adam())
-        chain.append(optax.scale_by_schedule(lambda s: -jnp.maximum(sched(s), float(opt_cfg.get("LR_CLIP", 0.0)))))
+        chain.append(optax.scale_by_schedule(lambda s: -sched(s)))
     elif name == "sgd":
         chain.append(optax.trace(decay=float(opt_cfg.get("MOMENTUM", 0.9))))
         chain.append(optax.scale(-lr))

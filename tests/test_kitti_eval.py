@@ -155,3 +155,68 @@ def test_visualize_pc_tool(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (dump_dir / "pc_eval_0_0.png").exists()
+
+
+def test_coverage_bucket_difficulty_axis():
+    """Coverage-rate buckets replace easy/mod/hard (reference
+    `eval.py:55-57,597,685`): a gt whose coverage is inside the bucket is
+    moved to the ignored class; keys are named cvrg_lo_hi."""
+    rng = np.random.RandomState(3)
+    gt, dt = make_annos(rng, n_img=40, perfect=True)
+    for g in gt:
+        n = len(g["name"])
+        g["coverage_rates"] = rng.uniform(0.0, 1.0, (n, 1))
+    buckets = [[0.0, 0.3], [0.3, 0.7], [0.7, 1.01]]
+    result, ret, details = kitti_eval.get_official_eval_result(
+        gt, dt, ["Car"], coverage_rates=buckets)
+    for lo, hi in buckets:
+        key = f"Car_3d/cvrg_{lo}_{hi}_R40"
+        assert key in ret, sorted(ret)
+        assert np.isfinite(ret[key])
+    # perfect detections still score high in every bucket (non-ignored
+    # gt are matched perfectly; ignored ones don't count against)
+    assert ret["Car_3d/cvrg_0.0_0.3_R40"] > 90.0, result
+
+
+def test_compute_coverage_rates(tmp_path):
+    """compute_coverage_rates: fully-covered object -> rate ~1; object
+    with far fewer observed points -> rate < 1 (reference
+    `kitti_dataset.py:204-266`)."""
+    import pickle
+
+    from btcdet_tpu.datasets.kitti import kitti_infos
+
+    rng = np.random.RandomState(0)
+    gt_box = np.array([10.0, 2.0, -0.5, 4.0, 1.6, 1.5, 0.3])
+    # canonical best-match shape: a dense box-surface-ish cloud
+    bm = rng.uniform(-1, 1, (600, 3)) * np.array([2.0, 0.8, 0.7])
+    bm_dir = tmp_path / "bm_car"
+    bm_dir.mkdir()
+    with open(bm_dir / "7_0.pkl", "wb") as f:
+        pickle.dump(bm.astype(np.float32), f)
+    with open(bm_dir / "7_1.pkl", "wb") as f:
+        pickle.dump(bm.astype(np.float32), f)
+    db = tmp_path / "gt_database"
+    db.mkdir()
+    # object 0: observed points = the full bm shape rotated into the box
+    # frame convention (db bins are stored center-relative, world-rotated)
+    from btcdet_tpu.utils import common
+    world = common.rotate_points_along_z_np(bm[None], np.asarray([gt_box[6]]))[0]
+    full = np.concatenate([world, np.zeros((len(world), 1))], axis=1).astype(np.float32)
+    full.tofile(str(db / "000007_Car_0.bin"))
+    # object 1: only 5 observed points
+    full[:5].tofile(str(db / "000007_Car_1.bin"))
+    info = {
+        "point_cloud": {"lidar_idx": "000007"},
+        "annos": {
+            "name": np.array(["Car", "Car", "DontCare"]),
+            "gt_boxes_lidar": np.stack([gt_box, gt_box, gt_box]),
+        },
+    }
+    out = kitti_infos.compute_coverage_rates(
+        [info], {"Car": bm_dir}, db, workers=1)
+    rates = np.asarray(out[0]["annos"]["coverage_rates"]).reshape(-1)
+    assert rates.shape[0] == 3
+    assert rates[0] > 0.95, rates
+    assert 0.0 < rates[1] < 0.2, rates
+    assert rates[2] == 0.0

@@ -61,3 +61,35 @@ def test_weight_decay_mask():
     mask = optim._kernel_mask(params)
     assert mask["dense"]["kernel"] is True
     assert mask["dense"]["bias"] is False
+
+
+def test_cosine_warmup_wrap():
+    """CosineWarmupLR semantics (reference
+    `learning_schedules_fastai.py:84-93`): lr ramps LR/DIV -> LR on a
+    cosine over WARMUP_EPOCH epochs, then the main schedule applies."""
+    cfg = opt_cfg(name="adam_cosine")
+    cfg["LR_WARMUP"] = True
+    cfg["WARMUP_EPOCH"] = 1
+    total = 100  # NUM_EPOCHS=2 -> spe=50, warmup=50 steps
+    main = lambda s: jnp.full_like(jnp.asarray(s, jnp.float32), 0.02)
+    sched = optim.with_cosine_warmup(main, cfg, total)
+    assert abs(float(sched(0)) - 0.001) < 1e-6          # LR/DIV at step 0
+    assert abs(float(sched(49)) - 0.01) < 3e-4          # ~LR at warmup end
+    assert abs(float(sched(50)) - 0.02) < 1e-6          # main after warmup
+    ramp = [float(sched(s)) for s in range(0, 50, 7)]
+    assert all(b >= a for a, b in zip(ramp, ramp[1:]))
+    # no LR_WARMUP -> passthrough
+    cfg2 = opt_cfg(name="adam_cosine")
+    assert optim.with_cosine_warmup(main, cfg2, total) is main
+
+
+def test_adam_decay_schedule_with_warmup_builds():
+    cfg = opt_cfg(name="adam")
+    cfg["LR_WARMUP"] = True
+    cfg["WARMUP_EPOCH"] = 1
+    tx = optim.build_optimizer(cfg, 100)
+    params = {"kernel": jnp.ones((3,)), "bias": jnp.zeros((2,))}
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(g, state, params)
+    assert np.isfinite(np.asarray(upd["kernel"])).all()
