@@ -46,6 +46,11 @@ class BtcNet(nn.Module):
     det_voxel_size: tuple
     num_point_features: int = 4
     axis_name: str | None = None
+    # optional NamedSharding for the dense BEV feature maps [B, H, W, C]:
+    # with a ('dp','sp') mesh, P('dp','sp') spatially partitions the 2D
+    # conv pyramid over H (GSPMD inserts the halo exchanges). The sparse
+    # stages stay dp-sharded; see SURVEY.md §5.7.
+    bev_sharding: Any = None
 
     @staticmethod
     def _level_caps(bb_cfg, mode: str):
@@ -253,7 +258,11 @@ class BtcNet(nn.Module):
         )
         bb_out = self.backbone_3d(st, occ_code, train=train)
         spatial = self.height_compression(bb_out["encoded"])
+        if self.bev_sharding is not None:
+            spatial = jax.lax.with_sharding_constraint(spatial, self.bev_sharding)
         spatial_2d = self.backbone_2d(spatial, train=train)
+        if self.bev_sharding is not None:
+            spatial_2d = jax.lax.with_sharding_constraint(spatial_2d, self.bev_sharding)
         head_out = self.dense_head(
             spatial_2d, gt_boxes=batch.get("gt_boxes"), train=train
         )
@@ -385,7 +394,8 @@ def post_processing(out, post_cfg, num_class: int):
     }
 
 
-def build_network(model_cfg, data_cfg, class_names, axis_name: str | None = None):
+def build_network(model_cfg, data_cfg, class_names, axis_name: str | None = None,
+                  bev_sharding=None):
     """Construct BtcNet from reference-schema configs."""
     pcr = tuple(data_cfg.POINT_CLOUD_RANGE)
     det_vox = None
@@ -405,4 +415,5 @@ def build_network(model_cfg, data_cfg, class_names, axis_name: str | None = None
         det_voxel_size=det_vox,
         num_point_features=n_feat,
         axis_name=axis_name,
+        bev_sharding=bev_sharding,
     )

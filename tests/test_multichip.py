@@ -1,0 +1,37 @@
+"""Hybrid dp x sp sharded training step on the virtual 8-device CPU mesh
+(SURVEY.md §5.7: batch data-parallel over `dp`, dense BEV conv pyramid
+spatially partitioned over `sp` with GSPMD halo exchange)."""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from btcdet_tpu.datasets import make_synthetic_batch
+from btcdet_tpu.datasets.mini_config import (
+    mini_data_cfg, mini_model_cfg, mini_opt_cfg,
+)
+from btcdet_tpu.models import build_network
+from btcdet_tpu.train import trainer
+
+
+def test_dp_sp_train_step():
+    n = 8
+    devices = np.array(jax.devices()[:n]).reshape(n // 2, 2)
+    mesh = Mesh(devices, ("dp", "sp"))
+    data_cfg = mini_data_cfg(with_occ=False)
+    model_cfg = mini_model_cfg(with_occ=False)
+    net = build_network(
+        model_cfg, data_cfg, ["Car"],
+        bev_sharding=NamedSharding(mesh, P("dp", "sp")),
+    )
+    batch = {k: jax.numpy.asarray(v) for k, v in make_synthetic_batch(
+        data_cfg, batch_size=4, num_points=512, num_gt=2).items()}
+    state, tx = trainer.create_train_state(
+        net, batch, jax.random.PRNGKey(0),
+        det_opt_cfg=mini_opt_cfg(0.01), occ_opt_cfg=None, total_steps=4,
+    )
+    step = trainer.make_data_parallel_train_step(net, tx, mesh)
+    batch = trainer.shard_batch(batch, mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

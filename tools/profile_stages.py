@@ -34,11 +34,11 @@ def timeit(name, fn, *args, iters=5):
     return out
 
 
-def main(mode="test"):
+def main(mode="test", batch_size=1):
     cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
     net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
     batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
-        cfg.DATA_CONFIG, 1, 16384, 10, mode=mode).items()}
+        cfg.DATA_CONFIG, batch_size, 16384, 10, mode=mode).items()}
     rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
     variables = jax.jit(lambda r, b: net.init(r, b, train=False))(rngs, batch)
@@ -75,6 +75,9 @@ def main(mode="test"):
         ("batch_box_preds", "+ ConvHead"),
     ]:
         timeit(f"prefix: {label}", prefix(key), variables, batch, iters=5)
+
+    if batch_size != 1:
+        return  # sub-stage probes below assume B=1
 
     # occ subnet alone
     @jax.jit
@@ -233,4 +236,5 @@ def main(mode="test"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "test")
+    main(sys.argv[1] if len(sys.argv) > 1 else "test",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1)
