@@ -62,6 +62,21 @@ class OccSubnet(nn.Module):
         self.w = {k: float(v) for k, v in lw.items() if not isinstance(v, (list, tuple))}
         self.is_softmax = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.get("CLS_LOSS_TYPE", "") == "softmax"
 
+        # registry-name selection (reference `occ_training_targets/__init__.py`
+        # / `occ_dense_heads/__init__.py`): OccTargetsPillar switches the
+        # predict-area dilation to 2D BEV (reference `occ_targets_pillar.py:14`
+        # create_predict_area -> create_predict_area2d); OccHead2D predicts
+        # the full z column per BEV pixel with 2D convs (reference
+        # `occ_head_2D.py:23-31`). The reference's pillar path is bit-rotted
+        # (template/pillar signatures disagree); this is the working
+        # TPU-native equivalent of its intent.
+        self.targets_name = self.model_cfg.get("TARGETS", {}).get("NAME", "OccTargets3D")
+        if self.targets_name not in ("OccTargets3D", "OccTargetsPillar"):
+            raise KeyError(f"unknown occ TARGETS.NAME {self.targets_name!r}")
+        self.head_name = self.model_cfg.OCC_DENSE_HEAD.get("NAME", "OccHead3D")
+        if self.head_name not in ("OccHead3D", "OccHead2D"):
+            raise KeyError(f"unknown OCC_DENSE_HEAD.NAME {self.head_name!r}")
+
         self.vfe = vfe.MeanVFE(num_raw_features=4, maxprob=self.maxprob_vfe)
         bb_name = self.model_cfg.get("BACKBONE_3D", {}).get(
             "NAME", "VoxelBackBoneDeconv")
@@ -83,18 +98,38 @@ class OccSubnet(nn.Module):
         prior = float(self.model_cfg.OCC_DENSE_HEAD.get("PRIOR_PROB", 0.01))
         prior_logit = float(np.log(prior / (1.0 - prior)))
 
-        def cls_bias_init(key, shape, dtype=jnp.float32):
-            b = jnp.zeros(shape, dtype)
-            return b.at[-1].set(prior_logit)  # last channel = occupied
+        self.cls_ch = cls_ch
+        if self.head_name == "OccHead2D":
+            nz = self.spec.grid_size[2]
 
-        self.conv_cls = nn.Conv(
-            cls_ch, (3, 3, 3), padding=1, use_bias=True,
-            bias_init=cls_bias_init, name="conv_cls",
-        )
-        if self.reg:
-            self.conv_res = nn.Conv(
-                self.res_num_dim, (3, 3, 3), padding=1, use_bias=False, name="conv_res"
+            def cls_bias_init(key, shape, dtype=jnp.float32):
+                # channels laid out [nz, cls_ch]; occupied = last of each
+                b = jnp.zeros(shape, dtype).reshape(nz, cls_ch)
+                return b.at[:, -1].set(prior_logit).reshape(shape)
+
+            self.conv_cls = nn.Conv(
+                nz * cls_ch, (3, 3), padding=1, use_bias=True,
+                bias_init=cls_bias_init, name="conv_cls",
             )
+            if self.reg:
+                # reference init_weights: res conv weights ~N(0, 0.001)
+                self.conv_res = nn.Conv(
+                    nz * self.res_num_dim, (3, 3), padding=1, use_bias=False,
+                    kernel_init=nn.initializers.normal(0.001), name="conv_res",
+                )
+        else:
+            def cls_bias_init(key, shape, dtype=jnp.float32):
+                b = jnp.zeros(shape, dtype)
+                return b.at[-1].set(prior_logit)  # last channel = occupied
+
+            self.conv_cls = nn.Conv(
+                cls_ch, (3, 3, 3), padding=1, use_bias=True,
+                bias_init=cls_bias_init, name="conv_cls",
+            )
+            if self.reg:
+                self.conv_res = nn.Conv(
+                    self.res_num_dim, (3, 3, 3), padding=1, use_bias=False, name="conv_res"
+                )
 
     def __call__(self, batch: dict, train: bool = False):
         spec = self.spec
@@ -156,7 +191,17 @@ class OccSubnet(nn.Module):
         )[:-1].reshape(B, nz, ny, nx, -1)
 
         x, mask = self.backbone(dense, targets["voxelwise_mask"], train=train)
-        logits = self.conv_cls(x)
+        if self.head_name == "OccHead2D":
+            # fold z into channels, predict the full column per BEV pixel
+            # with 2D convs (reference `occ_head_2D.dim_transfrom` semantics
+            # at stride 1), unfold back to (B, nz, ny, nx, ch)
+            Bx, nzx, nyx, nxx, Cx = x.shape
+            bev = x.transpose(0, 2, 3, 1, 4).reshape(Bx, nyx, nxx, nzx * Cx)
+            logits = self.conv_cls(bev).reshape(
+                Bx, nyx, nxx, nzx, self.cls_ch
+            ).transpose(0, 3, 1, 2, 4)
+        else:
+            logits = self.conv_cls(x)
         if self.is_softmax:
             prob = jax.nn.softmax(logits, axis=-1)[..., -1]
         else:
@@ -166,7 +211,14 @@ class OccSubnet(nn.Module):
         out = dict(targets)
         out["probs"] = masked_prob
         if self.reg:
-            res_pred = self.conv_res(x)  # (B, nz, ny, nx, 3)
+            if self.head_name == "OccHead2D":
+                Bx, nzx, nyx, nxx, Cx = x.shape
+                bev = x.transpose(0, 2, 3, 1, 4).reshape(Bx, nyx, nxx, nzx * Cx)
+                res_pred = self.conv_res(bev).reshape(
+                    Bx, nyx, nxx, nzx, self.res_num_dim
+                ).transpose(0, 3, 1, 2, 4)
+            else:
+                res_pred = self.conv_res(x)  # (B, nz, ny, nx, 3)
             out["res_pred"] = res_pred
         else:
             res_pred = None
@@ -191,7 +243,16 @@ class OccSubnet(nn.Module):
         centers = jnp.asarray(spec.voxel_centers_xyz)
 
         voxelwise = T.scatter_mask(vcoords, vcoords[:, 0] >= 0, B, grid)
-        vcc = T.dilate_predict_area(voxelwise, spec.dist_kern, spec.concede_x)
+        if self.targets_name == "OccTargetsPillar":
+            # pillar predict area (reference `occ_targets_pillar.py:14`):
+            # dilate the BEV occupancy footprint in (y, x) only and apply
+            # it to the whole z column
+            bev = jnp.any(voxelwise, axis=1, keepdims=True)  # (B, 1, ny, nx)
+            kz, ky, kx = spec.dist_kern
+            vcc2d = T.dilate_predict_area(bev, (1, ky, kx), spec.concede_x)
+            vcc = jnp.broadcast_to(vcc2d, voxelwise.shape)
+        else:
+            vcc = T.dilate_predict_area(voxelwise, spec.dist_kern, spec.concede_x)
 
         # flat point list
         N, P, _ = occ_pnts.shape
