@@ -269,8 +269,10 @@ class OccSubnet(nn.Module):
         gt7 = gt_boxes[..., :7]
         gt_valid = gt_boxes[..., 7] > 1e-2
 
-        fore_p, mirr_pts, mirr_val = T.mirror_points_in_boxes_batched(
-            pts, pvalid, pb, gt_boxes, gt_valid, mirr_flag, B
+        # voxel rows are per-frame contiguous capacity blocks (collate
+        # contract) -> blocked vmap instead of the O(B^2) frame loop
+        fore_p, mirr_pts, mirr_val = T.mirror_points_in_boxes_blocked(
+            pts, pvalid, gt_boxes, gt_valid, mirr_flag, B
         )
 
         fore_mask = T.scatter_mask(pcoords, fore_p, B, grid)
@@ -302,7 +304,7 @@ class OccSubnet(nn.Module):
             bmp = bm_pts.reshape(B * Nbm, 3)
             bmb = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Nbm)
             bmv = bm_mask_in.reshape(B * Nbm)
-            in_gt = T.points_in_gt_batched(bmp, bmv, bmb, gt_boxes, gt_valid, B)
+            in_gt = T.points_in_gt_blocked(bmp, bmv, gt_boxes, gt_valid, B)
             bm_occ = T.world_to_occ_coords(bmp, rot_z[bmb], spec)
             bm_cell, bm_inr = T.points_to_grid_coords(bm_occ, spec)
             bm_coords = jnp.concatenate([bmb[:, None], bm_cell[:, ::-1]], axis=1)

@@ -368,6 +368,42 @@ def mirror_points_in_boxes_batched(
     return fore, mirr_pts, mirr_val
 
 
+def mirror_points_in_boxes_blocked(
+    points_xyz, valid, gt_boxes, gt_valid, mirr_flag, batch_size: int
+):
+    """Like `mirror_points_in_boxes_batched` but for the (universal here)
+    layout where the flat point list is per-frame contiguous fixed-size
+    blocks (collate concatenates capacity-padded per-frame voxel tables).
+    vmap over frames: O(B * points * boxes) instead of the generic loop's
+    O(B^2 * points * boxes) — the occ targets stage stopped amortizing
+    with batch size because of that quadratic term."""
+    n = points_xyz.shape[0]
+    m = n // batch_size
+    p = points_xyz.reshape(batch_size, m, 3)
+    v = valid.reshape(batch_size, m)
+    fore, mp, mv = jax.vmap(mirror_points_in_boxes)(
+        p, v, gt_boxes, gt_valid, mirr_flag
+    )
+    return fore.reshape(n), mp.reshape(n, 3), mv.reshape(n)
+
+
+def points_in_gt_blocked(points_xyz, valid, gt_boxes, gt_valid, batch_size: int):
+    """Blocked-layout in-any-gt-box test (see
+    `mirror_points_in_boxes_blocked` for the layout contract)."""
+    from ...utils import box_utils
+
+    n = points_xyz.shape[0]
+    m = n // batch_size
+    p = points_xyz.reshape(batch_size, m, 3)
+    v = valid.reshape(batch_size, m)
+
+    def one(p_f, v_f, gt_f, gv_f):
+        hit = box_utils.points_in_boxes_mask(p_f, gt_f[:, :7])
+        return jnp.any(hit & gv_f[None, :], axis=1) & v_f
+
+    return jax.vmap(one)(p, v, gt_boxes, gt_valid).reshape(n)
+
+
 def points_in_gt_batched(points_xyz, valid, points_b, gt_boxes, gt_valid, batch_size: int):
     """Flat point list in-any-gt-box test (reference
     `torch_points_in_box_3d_label_batch`)."""

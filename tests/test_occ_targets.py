@@ -151,3 +151,35 @@ def test_reproj_matmul_matches_scatter():
                             jnp.asarray(pb), jnp.asarray(rz), B)
     assert np.array_equal(np.asarray(fast), np.asarray(slow))
     assert np.asarray(fast).sum() > 0
+
+
+def test_blocked_matches_batched_loop():
+    """Blocked (vmap-per-frame) fore/mirror/in-gt must equal the generic
+    frame-loop versions when the flat list is per-frame contiguous
+    blocks (the collate contract)."""
+    rng = np.random.RandomState(3)
+    B, M, G = 3, 64, 4
+    pts = rng.uniform(-8, 8, (B * M, 3)).astype(np.float32)
+    valid = rng.rand(B * M) < 0.8
+    pb = np.repeat(np.arange(B, dtype=np.int32), M)
+    gt = np.zeros((B, G, 8), np.float32)
+    gt[..., :3] = rng.uniform(-6, 6, (B, G, 3))
+    gt[..., 3:6] = rng.uniform(2, 5, (B, G, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (B, G))
+    gt[..., 7] = (rng.rand(B, G) < 0.8).astype(np.float32)
+    gv = gt[..., 7] > 1e-2
+    mirr = (rng.rand(B, G) < 0.7).astype(np.float32)
+
+    j = jnp.asarray
+    f1, mp1, mv1 = T.mirror_points_in_boxes_batched(
+        j(pts), j(valid), j(pb), j(gt), j(gv), j(mirr), B)
+    f2, mp2, mv2 = T.mirror_points_in_boxes_blocked(
+        j(pts), j(valid), j(gt), j(gv), j(mirr), B)
+    assert (np.asarray(f1) == np.asarray(f2)).all()
+    assert (np.asarray(mv1) == np.asarray(mv2)).all()
+    mv = np.asarray(mv1)
+    assert np.allclose(np.asarray(mp1)[mv], np.asarray(mp2)[mv], atol=1e-5)
+
+    g1 = T.points_in_gt_batched(j(pts), j(valid), j(pb), j(gt), j(gv), B)
+    g2 = T.points_in_gt_blocked(j(pts), j(valid), j(gt), j(gv), B)
+    assert (np.asarray(g1) == np.asarray(g2)).all()
