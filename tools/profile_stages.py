@@ -23,12 +23,18 @@ from btcdet_tpu.models import vfe as vfe_mod
 
 
 def timeit(name, fn, *args, iters=5):
-    out = fn(*args)
-    _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])  # compile+sync
+    # fetch a SCALAR, not the stage output: device_get of a multi-MB
+    # array pays ~4.8 ms/MB tunnel transfer and corrupts the timing
+    @jax.jit
+    def red(*a):
+        leaves = jax.tree_util.tree_leaves(fn(*a))
+        return sum(l.sum().astype(jnp.float32) for l in leaves if hasattr(l, "dtype"))
+
+    _ = jax.device_get(red(*args))  # compile+sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        out = red(*args)
+    _ = jax.device_get(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:30s} {dt*1000:9.1f} ms", flush=True)
     return out
@@ -75,9 +81,6 @@ def main(mode="test", batch_size=1):
         ("batch_box_preds", "+ ConvHead"),
     ]:
         timeit(f"prefix: {label}", prefix(key), variables, batch, iters=5)
-
-    if batch_size != 1:
-        return  # sub-stage probes below assume B=1
 
     # occ subnet alone
     @jax.jit
