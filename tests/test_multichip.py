@@ -35,3 +35,31 @@ def test_dp_sp_train_step():
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_dp_sharded_eval_matches_unsharded():
+    """Data-parallel eval (reference DDP eval, eval_utils.py:77-83):
+    dp-sharded inference must produce bitwise-identical predictions --
+    eval has no cross-frame coupling (per-frame NMS, running-average BN)."""
+    import jax.numpy as jnp
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
+    data_cfg = mini_data_cfg(with_occ=False)
+    model_cfg = mini_model_cfg(with_occ=False)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
+        data_cfg, batch_size=n, num_points=512, num_gt=2).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=False)
+
+    @jax.jit
+    def infer(v, b):
+        return net.apply(v, b, train=False)["batch_box_preds"]
+
+    ref = np.asarray(infer(variables, batch))
+    sharded = trainer.shard_batch(batch, mesh)
+    out = np.asarray(infer(variables, sharded))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
