@@ -107,6 +107,30 @@ def main(batch_size: int = 8, iters: int = 6, mode: str = "test"):
     }))
 
 
+def wait_for_device(max_minutes: float = 20.0):
+    """Crashed TPU workers can take minutes (occasionally much longer)
+    to recover; probe `jax.devices()` in a SUBPROCESS (in-process the
+    failed backend init is cached, and the probe can hang) until it
+    answers so the driver's bench run survives a recovering worker."""
+    import subprocess
+    import sys as _sys
+
+    deadline = time.time() + max_minutes * 60
+    while True:
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return  # let the real run surface the error
+        time.sleep(30)
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -119,6 +143,7 @@ if __name__ == "__main__":
     p.add_argument("--mode", type=str, default="test")
     p.add_argument("--train", action="store_true")
     a = p.parse_args()
+    wait_for_device()
     if a.train:
         train_bench(max(a.batch_size, 2), min(a.iters, 10))
     else:

@@ -17,3 +17,16 @@ Layer map mirrors the reference's public surface (see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Make JAX_PLATFORMS effective even when a site plugin force-registers
+# its own platform during backend init (the env var alone is overridden
+# in that case; jax.config is not). No-op when the var is unset.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

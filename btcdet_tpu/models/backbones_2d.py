@@ -33,36 +33,44 @@ class BaseBEVBackbone(nn.Module):
     num_filters: Sequence[int]
     upsample_strides: Sequence[int]
     num_upsample_filters: Sequence[int]
+    # bf16 conv compute (params stay f32; BN statistics computed in f32):
+    # this path is dense MXU work on (B, 200, 176, 128-256) maps, so
+    # bf16 doubles MXU rate and halves the HBM traffic of the pyramid
+    compute_dtype: jnp.dtype | None = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, C) -> (B, H, W, sum(num_upsample_filters))."""
+        dt = self.compute_dtype
+
+        def conv(c, k, s=1):
+            return nn.Conv(c, k, strides=s, padding=k[0] // 2,
+                           use_bias=False, dtype=dt)
+
+        def bn_relu(h, bn):
+            return nn.relu(bn(h.astype(jnp.float32), train))
+
         ups = []
         for i, n_layers in enumerate(self.layer_nums):
-            x = nn.Conv(
-                self.num_filters[i], (3, 3), strides=self.layer_strides[i],
-                padding=1, use_bias=False,
-            )(x)
-            x = _BN()(x, train)
-            x = nn.relu(x)
+            x = conv(self.num_filters[i], (3, 3), self.layer_strides[i])(x)
+            x = bn_relu(x, _BN())
             for _ in range(n_layers):
-                x = nn.Conv(self.num_filters[i], (3, 3), padding=1, use_bias=False)(x)
-                x = _BN()(x, train)
-                x = nn.relu(x)
+                x = conv(self.num_filters[i], (3, 3))(x)
+                x = bn_relu(x, _BN())
             if i < len(self.upsample_strides):
                 s = self.upsample_strides[i]
                 if s > 1:
                     u = nn.ConvTranspose(
                         self.num_upsample_filters[i], (s, s), strides=(s, s),
-                        use_bias=False,
+                        use_bias=False, dtype=dt,
                     )(x)
                 else:
                     u = nn.Conv(
-                        self.num_upsample_filters[i], (1, 1), strides=int(round(1 / s)) if s < 1 else 1,
-                        use_bias=False,
+                        self.num_upsample_filters[i], (1, 1),
+                        strides=int(round(1 / s)) if s < 1 else 1,
+                        use_bias=False, dtype=dt,
                     )(x)
-                u = _BN()(u, train)
-                u = nn.relu(u)
+                u = bn_relu(u, _BN())
                 ups.append(u)
         if len(ups) > 1:
             return jnp.concatenate(ups, axis=-1)

@@ -257,12 +257,17 @@ class BtcNet(nn.Module):
             voxel_features, voxel_coords, (nz, ny, nx), batch_size
         )
         bb_out = self.backbone_3d(st, occ_code, train=train)
+        # profiler prefix hooks: unused keys are DCE'd by jit probes that
+        # return a single earlier output, so exporting these is free
+        out["encoded_features"] = bb_out["encoded"].features
         spatial = self.height_compression(bb_out["encoded"])
+        out["spatial_features"] = spatial
         if self.bev_sharding is not None:
             spatial = jax.lax.with_sharding_constraint(spatial, self.bev_sharding)
         spatial_2d = self.backbone_2d(spatial, train=train)
         if self.bev_sharding is not None:
             spatial_2d = jax.lax.with_sharding_constraint(spatial_2d, self.bev_sharding)
+        out["spatial_features_2d"] = spatial_2d
         head_out = self.dense_head(
             spatial_2d, gt_boxes=batch.get("gt_boxes"), train=train
         )

@@ -17,6 +17,10 @@ class HeightCompression:
         self.num_bev_features = model_cfg.NUM_BEV_FEATURES if model_cfg else None
 
     def __call__(self, st: sparse.SparseTensor) -> jax.Array:
+        # bf16 scatter: the dense BEV map is ~90 MB/frame in f32 and its
+        # only consumer is the bf16 conv pyramid, so densify at bf16 to
+        # halve the scatter+read HBM traffic
+        st = st.replace(features=st.features.astype(jnp.bfloat16))
         d = st.dense()  # (B, nz, ny, nx, C)
         B, nz, ny, nx, C = d.shape
         return d.transpose(0, 2, 3, 1, 4).reshape(B, ny, nx, nz * C)

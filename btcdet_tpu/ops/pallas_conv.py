@@ -242,7 +242,7 @@ def _build_onehot(q, key_blocks, kb: int, nblocks: int):
 
 
 def _make_kernel(mode: str, G: int, TPG: int, T: int, WIN: int, NB: int,
-                 C: int, CO: int):
+                 C: int, CO: int, tiles: int):
     kb = WIN // LANES
     NEG = -3.0e38
 
@@ -258,28 +258,37 @@ def _make_kernel(mode: str, G: int, TPG: int, T: int, WIN: int, NB: int,
             out_ref = refs[2 * NB + 1]
             acc = refs[2 * NB + 2]
         g = pl.program_id(1)
+        t = pl.program_id(0)
+        # rows are key-sorted with invalid (padding) rows at the end, so a
+        # tile entirely past the live row count has qk = -1 everywhere:
+        # its output is exactly zero. Skip the matmuls for those tiles --
+        # the capacity headroom (sized for worst-case occupancy) then
+        # costs DMA only, not MXU/VPU work.
+        live = t * T < s_ref[2 * G * tiles]
 
         @pl.when(g == 0)
         def _():
             acc[:] = jnp.full((T, CO), NEG if mode == "max" else 0.0, jnp.float32)
 
-        win = jnp.concatenate([t[:, :C] for t in tabs], axis=0)  # (NB*WIN, C)
-        for j in range(TPG):
-            q = qk_ref[0, :, j]
-            onehot = _build_onehot(q, keybs, kb, NB)
-            al = jax.lax.dot_general(
-                onehot, win, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (T, C)
-            if mode == "conv":
-                acc[:] = acc[:] + jax.lax.dot_general(
-                    al.astype(jnp.bfloat16), w_ref[0, j],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            elif mode == "sum":
-                acc[:] = acc[:] + al
-            elif mode == "max":
-                found = jnp.sum(onehot.astype(jnp.float32), axis=1, keepdims=True) > 0
-                acc[:] = jnp.maximum(acc[:], jnp.where(found, al, NEG))
+        @pl.when(live)
+        def _():
+            win = jnp.concatenate([tb[:, :C] for tb in tabs], axis=0)  # (NB*WIN, C)
+            for j in range(TPG):
+                q = qk_ref[0, :, j]
+                onehot = _build_onehot(q, keybs, kb, NB)
+                al = jax.lax.dot_general(
+                    onehot, win, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (T, C)
+                if mode == "conv":
+                    acc[:] = acc[:] + jax.lax.dot_general(
+                        al.astype(jnp.bfloat16), w_ref[0, j],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                elif mode == "sum":
+                    acc[:] = acc[:] + al
+                elif mode == "max":
+                    found = jnp.sum(onehot.astype(jnp.float32), axis=1, keepdims=True) > 0
+                    acc[:] = jnp.maximum(acc[:], jnp.where(found, al, NEG))
 
         @pl.when(g == G - 1)
         def _():
@@ -306,25 +315,30 @@ def _make_kernel_dw(G: int, TPG: int, T: int, WIN: int, NB: int,
         out_ref = refs[2 * NB + 2]
         acc = refs[2 * NB + 3]
         t = pl.program_id(1)
+        # see _make_kernel: tiles past the live row count have qk = -1,
+        # contributing zero to dW -- skip their matmuls
+        live = t * T < s_ref[2 * G * tiles]
 
         @pl.when(t == 0)
         def _():
             acc[:] = jnp.zeros((TPG, CP, CO), jnp.float32)
 
-        win = jnp.concatenate([tb[:, :CP] for tb in tabs], axis=0)
-        gt = g_ref[...].astype(jnp.bfloat16)         # (T, CO)
-        for j in range(TPG):
-            q = qk_ref[0, :, j]
-            onehot = _build_onehot(q, keybs, kb, NB)
-            al = jax.lax.dot_general(
-                onehot, win, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (T, CP)
-            # contract over T (transposed matmul on the MXU)
-            dwj = jax.lax.dot_general(
-                al.astype(jnp.bfloat16), gt,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (CP, CO)
-            acc[j] = acc[j] + dwj
+        @pl.when(live)
+        def _():
+            win = jnp.concatenate([tb[:, :CP] for tb in tabs], axis=0)
+            gt = g_ref[...].astype(jnp.bfloat16)         # (T, CO)
+            for j in range(TPG):
+                q = qk_ref[0, :, j]
+                onehot = _build_onehot(q, keybs, kb, NB)
+                al = jax.lax.dot_general(
+                    onehot, win, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (T, CP)
+                # contract over T (transposed matmul on the MXU)
+                dwj = jax.lax.dot_general(
+                    al.astype(jnp.bfloat16), gt,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (CP, CO)
+                acc[j] = acc[j] + dwj
 
         @pl.when(t == tiles - 1)
         def _():
@@ -337,7 +351,7 @@ def _make_kernel_dw(G: int, TPG: int, T: int, WIN: int, NB: int,
     jax.jit,
     static_argnames=("G", "TPG", "T", "WIN", "NB", "CO", "interpret"),
 )
-def _fused_call_dw(table, keys_blk, qk, starts_blk, g_out, *, G, TPG,
+def _fused_call_dw(table, keys_blk, qk, starts_blk, nnz, g_out, *, G, TPG,
                    T, WIN, NB, CO, interpret=False):
     """dW for one conv: returns (G, TPG, CP, CO) f32."""
     MP = qk.shape[1]
@@ -377,14 +391,15 @@ def _fused_call_dw(table, keys_blk, qk, starts_blk, g_out, *, G, TPG,
         scratch_shapes=[pltpu.VMEM((TPG, CP, CO), jnp.float32)],
     )
     kern = _make_kernel_dw(G, TPG, T, WIN, NB, CP, CO, tiles)
+    s = jnp.concatenate([starts_blk, nnz.astype(jnp.int32)[None]])
     return pl.pallas_call(
         kern, out_shape=jax.ShapeDtypeStruct((G, TPG, CP, CO), jnp.float32),
         grid_spec=grid_spec, interpret=interpret,
-    )(starts_blk, *([table] * NB + [keys_blk] * NB + [qk, g_out]))
+    )(s, *([table] * NB + [keys_blk] * NB + [qk, g_out]))
 
 
 def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
-                  M, interpret=False):
+                  M, nnz=None, interpret=False):
     """Backward of a submanifold fused conv.
 
     df: a subm conv's transpose is itself a subm conv over the SAME
@@ -396,13 +411,14 @@ def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
     K, Cin, CO = weights.shape
     w_rev = jnp.transpose(weights[::-1], (0, 2, 1))          # (K, CO, Cin)
     df = _conv_fwd(g_out, keys, qk, w_rev, G=G, TPG=TPG, T=T, WIN=WIN,
-                   NB=NB, M=M, interpret=interpret)
+                   NB=NB, M=M, nnz=nnz, interpret=interpret)
     # dw windows gather FEATURES; g streams per tile
     ftab, fkeys_blk, fkp, _ = prep_table(features, keys, WIN, NB)
     fstarts = window_starts(fkp, qk, WIN, T, NB // 2, NB - NB // 2)
     MP = qk.shape[1]
     gp = jnp.pad(g_out.astype(jnp.float32), ((0, MP - g_out.shape[0]), (0, 0)))
-    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, gp, G=G, TPG=TPG,
+    dw_nnz = _qk_nnz(qk) if nnz is None else nnz
+    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, dw_nnz, gp, G=G, TPG=TPG,
                         T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
     dw = dw.reshape(K, -1, CO)[:, :Cin, :]
     return df, dw
@@ -411,7 +427,7 @@ def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
 def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
                      in_coords, in_valid, out_spatial_shape, batch_size,
                      kernel_size, stride, padding, *, G, TPG, T, WIN, NB,
-                     interpret=False):
+                     out_nnz=None, interpret=False):
     """Backward of a strided fused conv.
 
     df[i] = sum_k g[(i + p - off_k) / s] @ W_k^T -- the transpose-conv
@@ -425,12 +441,14 @@ def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
         kernel_size, stride, padding, T, transpose=True)
     w_t = jnp.transpose(weights, (0, 2, 1))                  # (K, CO, Cin)
     df = _conv_fwd(g_out, out_keys, qk_t, w_t, G=Gt, TPG=TPGt, T=T,
-                   WIN=WIN, NB=NB, M=features.shape[0], interpret=interpret)
+                   WIN=WIN, NB=NB, M=features.shape[0],
+                   nnz=jnp.sum(in_valid), interpret=interpret)
     ftab, fkeys_blk, fkp, _ = prep_table(features, in_keys, WIN, NB)
     fstarts = window_starts(fkp, qk, WIN, T, NB // 2, NB - NB // 2)
     MP = qk.shape[1]
     gp = jnp.pad(g_out.astype(jnp.float32), ((0, MP - g_out.shape[0]), (0, 0)))
-    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, gp, G=G, TPG=TPG,
+    dw_nnz = _qk_nnz(qk) if out_nnz is None else out_nnz
+    dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, dw_nnz, gp, G=G, TPG=TPG,
                         T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
     dw = dw.reshape(K, -1, CO)[:, :Cin, :]
     return df, dw
@@ -440,7 +458,7 @@ def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
     jax.jit,
     static_argnames=("mode", "G", "TPG", "T", "WIN", "NB", "CO", "interpret"),
 )
-def _fused_call(table, keys_blk, qk, starts_blk, weights, *, mode, G, TPG,
+def _fused_call(table, keys_blk, qk, starts_blk, nnz, weights, *, mode, G, TPG,
                 T, WIN, NB, CO, interpret=False):
     MP = qk.shape[1]
     tiles = MP // T
@@ -489,17 +507,25 @@ def _fused_call(table, keys_blk, qk, starts_blk, weights, *, mode, G, TPG,
         scratch_shapes=[pltpu.VMEM((T, CO), jnp.float32)],
     )
     kern = _make_kernel(mode, G, TPG, T, WIN, NB,
-                        weights.shape[2] if mode == "conv" else CO, CO)
+                        weights.shape[2] if mode == "conv" else CO, CO, tiles)
+    s = jnp.concatenate([starts_blk, nnz.astype(jnp.int32)[None]])
     return pl.pallas_call(
         kern, out_shape=jax.ShapeDtypeStruct((MP, CO), jnp.float32),
         grid_spec=grid_spec, interpret=interpret,
-    )(starts_blk, *args)
+    )(s, *args)
 
 
 # ------------------------------------------------------------ public ops
 
 
 DEBUG_OVERFLOW = os.environ.get("BTCDET_PALLAS_DEBUG", "0") == "1"
+
+
+def _qk_nnz(qk):
+    """Live output-row count from the query keys: padding rows have every
+    tap == -1, and live rows precede padding rows (key-sorted tables), so
+    counting rows with any in-range tap equals the table's nnz."""
+    return jnp.sum(jnp.any(qk >= 0, axis=(0, 2))).astype(jnp.int32)
 
 
 def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
@@ -516,12 +542,16 @@ def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
 
 
 def _conv_fwd(in_features, in_keys, qk, weights, *, G, TPG, T, WIN, NB, M,
-              interpret=False):
-    """weights (K, Cin, Cout) with K = G * TPG (dz-major tap order)."""
+              nnz=None, interpret=False):
+    """weights (K, Cin, Cout) with K = G * TPG (dz-major tap order).
+    nnz: live output-row count for tile skipping; defaults to the full
+    padded capacity (no skipping)."""
     K, Cin, CO = weights.shape
     table, keys_blk, starts = _prep_common(in_features, in_keys, qk, WIN, NB, T)
     w = weights.reshape(G, TPG, Cin, CO).astype(jnp.bfloat16)
-    out = _fused_call(table, keys_blk, qk, starts, w, mode="conv", G=G,
+    if nnz is None:
+        nnz = _qk_nnz(qk)
+    out = _fused_call(table, keys_blk, qk, starts, nnz, w, mode="conv", G=G,
                       TPG=TPG, T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
     return out[:M]
 
@@ -539,7 +569,8 @@ def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
         if cache is not None and cache_key:
             cache[ck] = (qk, G, TPG)
     return _conv_fwd(st_features, st_keys, qk, weights, G=G, TPG=TPG, T=T,
-                     WIN=WIN, NB=NB, M=st_features.shape[0], interpret=interpret)
+                     WIN=WIN, NB=NB, M=st_features.shape[0],
+                     nnz=jnp.sum(st_valid), interpret=interpret)
 
 
 def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
@@ -557,15 +588,18 @@ def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
         if cache is not None and cache_key:
             cache[ck] = (qk, G, TPG)
     return _conv_fwd(in_features, in_keys, qk, weights, G=G, TPG=TPG, T=T,
-                     WIN=WIN, NB=NB, M=out_coords.shape[0], interpret=interpret)
+                     WIN=WIN, NB=NB, M=out_coords.shape[0],
+                     nnz=jnp.sum(out_valid), interpret=interpret)
 
 
 def fused_pool(in_features, in_keys, qk, G, TPG, *, mode="max", T=128,
-               WIN=128, NB=6, M=None, interpret=False):
+               WIN=128, NB=6, M=None, nnz=None, interpret=False):
     """Max-pool / neighbor-sum over the fused kernel. CO == Cin."""
     C = in_features.shape[1]
     table, keys_blk, starts = _prep_common(in_features, in_keys, qk, WIN, NB, T)
     dummy_w = jnp.zeros((1,), jnp.float32)
-    out = _fused_call(table, keys_blk, qk, starts, dummy_w, mode=mode, G=G,
+    if nnz is None:
+        nnz = _qk_nnz(qk)
+    out = _fused_call(table, keys_blk, qk, starts, nnz, dummy_w, mode=mode, G=G,
                       TPG=TPG, T=T, WIN=WIN, NB=NB, CO=C, interpret=interpret)
     return out[: (M if M is not None else in_features.shape[0])]

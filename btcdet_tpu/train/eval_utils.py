@@ -84,9 +84,14 @@ def recall_record(pred_boxes, pred_valid, rois, roi_valid, gt_boxes, thresh_list
 def eval_one_epoch(
     net, variables, dataloader, dataset, post_cfg, class_names,
     logger=None, result_dir=None, recall_thresh_list=(0.3, 0.5, 0.7),
-    cloud_dir=None, vis_stride: int = 0,
+    cloud_dir=None, vis_stride: int = 0, mesh=None,
 ):
     """reference `eval_one_epoch:41`. dataloader yields collated batches.
+
+    `mesh`: optional jax.sharding.Mesh with a 'dp' axis — batches are
+    sharded over it and inference runs data-parallel (the reference's
+    DDP eval, `eval_utils.py:77-83`, without the filesystem gather:
+    results come back to the host already merged).
 
     When `cloud_dir` is set and `vis_stride > 0`, every vis_stride-th
     batch is dumped as a named point-set dict `.npy` (reference
@@ -114,6 +119,9 @@ def eval_one_epoch(
     for batch in dataloader:
         batch_idx += 1
         jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
+        if mesh is not None:
+            from . import trainer as _trainer
+            jbatch = _trainer.shard_batch(jbatch, mesh)
         post = jax.device_get(infer(variables, jbatch))
         if cloud_dir is not None and vis_stride > 0 and batch_idx % vis_stride == 0:
             _dump_cloud(Path(cloud_dir), batch_idx, batch, post)

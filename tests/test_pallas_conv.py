@@ -238,3 +238,36 @@ def test_pallas_conv_ad_gradients_match_engine():
     gf_r, gw_r = jax.grad(ref_loss_bf, argnums=(0, 1))(st.features, w)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=0.3, rtol=0.1)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=0.5, rtol=0.1)
+
+
+def test_tile_skip_large_capacity_headroom():
+    """Capacity far above nnz: tiles entirely past the live rows are
+    skipped via the nnz scalar (`_qk_nnz` gate) -- output must still
+    match the engine exactly, with zeros in the padding rows."""
+    st = make_st(seed=5, n=900, cap=2048)  # ~780 live rows, 2048 cap
+    C, CO = 16, 24
+    rng = np.random.RandomState(7)
+    w = jnp.asarray((rng.randn(27, C, CO) * 0.1).astype(np.float32))
+
+    in_idx, found = S.subm_rulebook(st, 3)
+    ref = S.apply_rulebook_matmul(
+        jnp.asarray(bf16(st.features)), in_idx, found, jnp.asarray(bf16(w)))
+    out = P.fused_subm_conv(
+        st.features, st.coords, st.keys, st.valid, st.spatial_shape,
+        st.batch_size, w, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+    nnz = int(np.asarray(st.nnz))
+    assert (np.asarray(out)[nnz:] == 0).all()
+
+    # strided conv with oversized out capacity
+    keys, coords, nnz_s, out_shape = S.conv_output_sites(st, 3, 2, 1, 2048)
+    valid = coords[:, 0] >= 0
+    qk, G, TPG = P.qkeys_conv(coords, valid, st.spatial_shape, st.batch_size,
+                              3, 2, 1, 128)
+    out2 = P.fused_conv(
+        st.features, st.keys, coords, valid, st.spatial_shape, st.batch_size,
+        w, 3, 2, 1, interpret=True)
+    rb_idx, rb_found = S.conv_rulebook(st, coords, valid, 3, 2, 1)
+    ref2 = S.apply_rulebook_matmul(
+        jnp.asarray(bf16(st.features)), rb_idx, rb_found, jnp.asarray(bf16(w)))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-2, rtol=2e-2)

@@ -76,7 +76,10 @@ def main(mode="test", batch_size=1):
     for key, label in [
         ("occ_probs", "occ (no merge)"),
         ("occ_points", "occ points"),
-        ("rpn_box_preds", "+merge+det bb+RPN"),
+        ("encoded_features", "+merge+det 3D bb"),
+        ("spatial_features", "+ height compression"),
+        ("spatial_features_2d", "+ BEV 2D bb"),
+        ("rpn_box_preds", "+ RPN head"),
         ("rois", "+ proposal NMS"),
         ("batch_box_preds", "+ ConvHead"),
     ]:

@@ -33,6 +33,8 @@ def parse_config():
     parser.add_argument("--eval_all", action="store_true")
     parser.add_argument("--max_waiting_mins", type=int, default=30)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard eval batches over all devices (dp mesh)")
     parser.add_argument("--vis_stride", type=int, default=0,
                         help="dump every Nth batch as a cloud .npy for "
                              "tools/visual_utils/visualize_pc.py (0=off)")
@@ -63,6 +65,10 @@ def build_eval(args, cfg, logger):
 
 def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh = None
+    if args.data_parallel:
+        from btcdet_tpu.parallel import make_mesh
+        mesh = make_mesh(("dp",))
     return eval_utils.eval_one_epoch(
         net, variables, dl, dataset, cfg.MODEL.POST_PROCESSING, cfg.CLASS_NAMES,
         logger=logger,
@@ -70,6 +76,7 @@ def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
         recall_thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
         cloud_dir=(result_dir / "cloud") if args.vis_stride else None,
         vis_stride=args.vis_stride,
+        mesh=mesh,
     )
 
 

@@ -48,6 +48,9 @@ def parse_config():
     parser.add_argument("--steps", type=int, default=None,
                         help="cap steps per epoch (smoke tests)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_steps", type=str, default=None,
+                        help="capture a jax.profiler trace over steps A-B "
+                             "(e.g. '10-15') into <output_dir>/profile")
     parser.add_argument("--vis_stride", type=int, default=0,
                         help="dump every Nth batch as a cloud .npy for "
                              "tools/visual_utils/visualize_pc.py (0=off)")
@@ -152,9 +155,20 @@ def main():
     step_fn = jax.jit(trainer_mod.make_train_step(net, tx))
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    # jax.profiler trace window (SURVEY.md §5.1: the reference has no
+    # tracing; TPU build uses the XLA profiler -- view with tensorboard
+    # or xprof on <output_dir>/profile)
+    prof_lo = prof_hi = -1
+    if args.profile_steps:
+        lo_s, _, hi_s = args.profile_steps.partition("-")
+        prof_lo, prof_hi = int(lo_s), int(hi_s or int(lo_s) + 1)
+
     cloud_dir = output_dir / "cloud"
+    gstep_count = 0
     for epoch in range(start_epoch, epochs):
         for i, batch in enumerate(loader(epoch)):
+            if gstep_count == prof_lo:
+                jax.profiler.start_trace(str(output_dir / "profile"))
             jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "frame_id"}
             if args.vis_stride and i % args.vis_stride == 0:
                 # training cloud dumps for tools/visual_utils/visualize_pc.py
@@ -173,6 +187,11 @@ def main():
                     d["gt_boxes"] = gb[np.abs(gb[:, 3:6]).sum(1) > 0][:, :7]
                 np.save(cloud_dir / f"pc_{epoch}_{i}.npy", d)
             state, metrics = step_fn(state, jb, rng)
+            gstep_count += 1
+            if gstep_count == prof_hi:
+                jax.device_get(metrics["loss"])  # sync before stopping
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace saved to {output_dir / 'profile'}")
             if i % 10 == 0 or args.steps:
                 m = jax.device_get(metrics)
                 msg = "  ".join(f"{k}={float(v):.4f}" for k, v in sorted(m.items()))
