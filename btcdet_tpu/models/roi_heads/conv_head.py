@@ -177,6 +177,7 @@ class ConvHead(nn.Module):
                 points_xyz, points_mask, new_xyz, new_mask,
                 features=points_feat, train=train, rotate_matrix=rot,
             ))
+            self.sow("intermediates", "sa_rawpoints", feats[-1])
         if "occ_points" in self.features_source and occ_xyz is not None:
             sa = group_ops.PointSAModuleMSG(
                 radii=list(self.occ_radii), nsamples=list(self.occ_nsamples),
@@ -188,8 +189,10 @@ class ConvHead(nn.Module):
                 occ_xyz, occ_mask, new_xyz, new_mask,
                 features=occ_feat, train=train, rotate_matrix=rot,
             ))
+            self.sow("intermediates", "sa_occpoints", feats[-1])
         if "x_combine" in self.features_source and x_combine is not None:
             feats.append(self._x_combine_pool(rois, roi_valid, grid_pts, x_combine, train))
+            self.sow("intermediates", "xc_pool", feats[-1])
 
         out = jnp.concatenate([f.astype(self.compute_dtype) for f in feats], axis=-1)
         C = out.shape[-1]

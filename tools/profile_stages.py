@@ -67,12 +67,6 @@ def main(mode="test", batch_size=1):
             return net.apply(v, b, train=False)[key]
         return f
 
-    def prefix(key):
-        @jax.jit
-        def f(v, b):
-            return net.apply(v, b, train=False)[key]
-        return f
-
     for key, label in [
         ("occ_probs", "occ (no merge)"),
         ("occ_points", "occ points"),
@@ -84,6 +78,28 @@ def main(mode="test", batch_size=1):
         ("batch_box_preds", "+ ConvHead"),
     ]:
         timeit(f"prefix: {label}", prefix(key), variables, batch, iters=5)
+
+    # ConvHead sub-stages via sown intermediates: each probe keeps only
+    # the prefix of the head needed to produce that branch (DCE drops the
+    # rest), so deltas vs the "+ proposal NMS" prefix are branch costs
+    def roi_probe(name):
+        @jax.jit
+        def f(v, b):
+            _, st = net.apply(v, b, train=False, mutable=["intermediates"])
+            return st["intermediates"]["det_roi_head"][name][0]
+        return f
+
+    # branches are independent given `rois`: each probe's time is
+    # (prefix up to proposal NMS) + that single branch
+    for name, label in [
+        ("sa_rawpoints", "ConvHead branch: SA raw"),
+        ("sa_occpoints", "ConvHead branch: SA occ"),
+        ("xc_pool", "ConvHead branch: xc pool"),
+    ]:
+        try:
+            timeit(f"prefix: {label}", roi_probe(name), variables, batch, iters=5)
+        except KeyError:
+            pass
 
     # occ subnet alone
     @jax.jit
