@@ -27,9 +27,105 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import voxelizer
-from ...utils import coords, loss_utils
+from ...utils import common, coords, loss_utils
 from .. import backbones_3d, vfe
 from . import occ_targets as T
+
+
+def db_proj_expand(xyz, tail, valid, src_cell, rot_z, *,
+                   det_lo, det_vs, det_grid, occ_lo, occ_vs, coord_type,
+                   expand=(1.0, 5.0, 3.0), stride=(1.0, 2.5, 1.5)):
+    """DB_PROJ densification (reference `add_occ_template.py:45`
+    `db_proj_func`, invoked at `pass_occ_vox.py:42-43` with the
+    expand/stride defaults used here). Each occ point is expanded onto a
+    sub-det-cell lattice around its det cell; a candidate survives only
+    if its location still maps back into the SOURCE occ voxel -- so one
+    (much larger) occ voxel densifies every det cell it covers instead
+    of contributing a single center point.
+
+    xyz: (B, K, 3) world-frame occ point locations; tail: (B, K, Ct)
+    feature tail copied onto every kept candidate; valid: (B, K);
+    src_cell: (B, K, 3) int occ cell (x, y, z); rot_z: (B,) degrees.
+    expand/stride are (z, y, x) like the reference. Returns
+    ((B, K*E, 3+Ct) points, (B, K*E) valid).
+    """
+    offs = [np.arange(-e, e + 1, s, dtype=np.float32)
+            for e, s in zip(expand, stride)]
+    oz, oy, ox = np.meshgrid(*offs, indexing="ij")
+    off = jnp.asarray(np.stack([ox, oy, oz], -1).reshape(1, 1, -1, 3))
+    E = off.shape[2]
+    B, K = valid.shape
+
+    det_lo = jnp.asarray(det_lo, jnp.float32)
+    det_vs = jnp.asarray(det_vs, jnp.float32)
+    gs = jnp.asarray(det_grid, jnp.float32)
+    # det cell of the (residual-shifted) point, clamped like the
+    # reference's trans_voxel_grid
+    c0 = jnp.clip(jnp.floor((xyz - det_lo) / det_vs), 0, gs - 1)
+    cand = c0[:, :, None, :] + off                    # (B, K, E, 3) float
+    loc = (cand + 0.5) * det_vs + det_lo              # candidate world xyz
+    inr = jnp.all((cand >= 0) & (cand <= gs - 1), axis=-1)
+
+    occ_loc = coords.cartesian_to_occ(loc.reshape(B, -1, 3), coord_type)
+    if coord_type == "cartesian":
+        occ_loc = common.rotate_points_along_z(
+            occ_loc, -rot_z * (np.pi / 180.0))
+    else:
+        occ_loc = occ_loc.at[..., 1].add(rot_z[:, None])  # world -> sensor
+    occ_lo = jnp.asarray(occ_lo, jnp.float32)
+    occ_vs = jnp.asarray(occ_vs, jnp.float32)
+    ocell = jnp.floor((occ_loc - occ_lo) / occ_vs).astype(jnp.int32)
+    pick = jnp.all(ocell.reshape(B, K, E, 3) == src_cell[:, :, None, :], -1)
+    keep = pick & inr & valid[:, :, None]
+
+    pts = jnp.concatenate(
+        [loc, jnp.broadcast_to(tail[:, :, None, :], (B, K, E, tail.shape[-1]))],
+        axis=-1)
+    pts = jnp.where(keep[..., None], pts, 0.0)
+    return pts.reshape(B, K * E, -1), keep.reshape(B, K * E)
+
+
+def real_drop_det_points(det_vox, det_num, drop_mask, rot_z, *,
+                         occ_lo, occ_vs, occ_grid, coord_type):
+    """REAL_DROP (reference `add_occ_template.py:38,172-184` +
+    `drop_points_with_drop_mask:193`): when occ-voxel dropout is active,
+    det points falling inside DROPPED occ voxels are removed from the
+    raw det set too, so the det subnet genuinely does not see them (and
+    the occ subnet must learn to fill them). Static shapes forbid
+    deleting voxel-table rows, so a row whose points are all dropped
+    keeps its (now empty) site with zero features -- the VFE's masked
+    mean yields a zero feature there instead of the reference's absent
+    site.
+
+    det_vox: (B, N, P, C) world-frame voxel point slots; det_num: (B, N);
+    drop_mask: (B, nz, ny, nx) bool dropped occ cells; rot_z: (B,) deg.
+    Returns (det_vox, det_num) with each row prefix-compacted.
+    """
+    B, N, Pd, C = det_vox.shape
+    nx, ny, nz = occ_grid
+    xyz = det_vox[..., :3].reshape(B, N * Pd, 3)
+    occ_loc = coords.cartesian_to_occ(xyz, coord_type)
+    if coord_type == "cartesian":
+        occ_loc = common.rotate_points_along_z(occ_loc, -rot_z * (np.pi / 180.0))
+    else:
+        occ_loc = occ_loc.at[..., 1].add(rot_z[:, None])  # world -> sensor
+    cell = jnp.floor(
+        (occ_loc - jnp.asarray(occ_lo, jnp.float32))
+        / jnp.asarray(occ_vs, jnp.float32)).astype(jnp.int32)
+    inr = jnp.all((cell >= 0) & (cell < jnp.asarray([nx, ny, nz])), axis=-1)
+    lin = (cell[..., 2] * ny + cell[..., 1]) * nx + cell[..., 0]
+    flat = drop_mask.reshape(B, -1)
+    dropped = jnp.take_along_axis(flat, jnp.where(inr, lin, 0), axis=1) & inr
+
+    slot = jnp.arange(Pd, dtype=jnp.int32)
+    live = slot[None, None] < det_num[..., None]          # (B, N, Pd)
+    keep = live & ~dropped.reshape(B, N, Pd)
+    # prefix-compact each row (downstream assumes slots [0, num) filled)
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    det_vox = jnp.take_along_axis(det_vox, order[..., None], axis=2)
+    keep_s = jnp.take_along_axis(keep, order, axis=2)
+    det_vox = jnp.where(keep_s[..., None], det_vox, 0.0)
+    return det_vox, keep.sum(-1).astype(det_num.dtype)
 
 
 class OccSubnet(nn.Module):
@@ -56,7 +152,17 @@ class OccSubnet(nn.Module):
         self.use_absxyz = occ_d.get("USE_ABSXYZ", "original")
         self.maxprob_vfe = bool(occ_d.get("MAX_VFE", False))
         self.dropout_rate = float(occ_d.get("DROPOUT_RATE", 0.0) or 0.0)
+        # REAL_DROP defaults ON when unset (reference add_occ_template.py:38
+        # `... is None or self.data_cfg.OCC.REAL_DROP`); only active while
+        # dropout actually drops voxels
+        rd = occ_d.get("REAL_DROP", None)
+        self.real_drop = True if rd is None else bool(rd)
         self.pass_grad = bool(self.model_cfg.OCC_PNT_UPDATE.get("PASS_GRAD", False))
+        self.db_proj = bool(self.model_cfg.OCC_PNT_UPDATE.get("DB_PROJ", False))
+        # train-time random occ-point subsampling rate range (r1, r2)
+        # (reference add_occ_template.py:43,110-117 + get_rand_range:90)
+        rp = self.model_cfg.PARAMS.get("REMAIN_PERCENTAGE", None)
+        self.remain_percentage = None if rp is None else (float(rp[0]), float(rp[1]))
 
         lw = self.model_cfg.OCC_DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         self.w = {k: float(v) for k, v in lw.items() if not isinstance(v, (list, tuple))}
@@ -395,6 +501,7 @@ class OccSubnet(nn.Module):
             "res_mtrx": res_mtrx,
             "voxel_drop_mask": drop_mask,
             "fore_voxel_drop_mask": fore_drop,
+            "forebox_label": forebox,  # box-interior weight mask (BOX_VIEW)
         }
 
     def _centers_world(self, rot_z, B):
@@ -453,6 +560,16 @@ class OccSubnet(nn.Module):
 
         flat = masked_prob.reshape(B, -1)
         sel = jnp.where(flat > self.occ_thresh, flat, 0.0)  # train thresh always
+        if train and self.remain_percentage is not None:
+            # keep each candidate w.p. ~U(r2, r1), one rate per frame
+            # (reference add_occ_template.py:110-117: a fresh
+            # get_rand_range draw inside the per-frame loop)
+            r1, r2 = self.remain_percentage
+            rate_rng, use_rng = jax.random.split(self.make_rng("sampling"))
+            rates = jax.random.uniform(rate_rng, (B, 1), minval=min(r1, r2),
+                                       maxval=max(r1, r2))
+            sel = jnp.where(jax.random.uniform(use_rng, sel.shape) <= rates,
+                            sel, 0.0)
         K = min(K, flat.shape[1])
         # exact lax.top_k wins at every K here (at K=40000 over 295k
         # cells: top_k 5.7 ms vs full argsort 51 ms vs radix-select
@@ -502,6 +619,24 @@ class OccSubnet(nn.Module):
         occ_pts6 = jnp.concatenate(occ_feats, axis=-1)
         occ_pts6 = jnp.where(valid[..., None], occ_pts6, 0.0)
 
+        merge_pts, merge_valid = occ_pts6, valid
+        if self.db_proj:
+            # DB_PROJ expansion feeds only the MERGE (the reference sets
+            # batch_dict["occ_pnts"] -- the ConvHead occ_points source --
+            # before db_proj_func runs, pass_occ_vox.py:36-43)
+            p = self.model_cfg.OCC_PNT_UPDATE
+            merge_pts, merge_valid = db_proj_expand(
+                xyz, occ_pts6[..., 3:], valid,
+                jnp.stack([xc, yc, zc], axis=-1), rot_z,
+                det_lo=self.point_cloud_range[:3], det_vs=self.det_voxel_size,
+                det_grid=voxelizer.compute_grid_size(
+                    self.point_cloud_range, self.det_voxel_size),
+                occ_lo=spec.point_cloud_range[:3], occ_vs=spec.voxel_size,
+                coord_type=spec.coord_type,
+                expand=tuple(p.get("DB_PROJ_EXPAND", (1.0, 5.0, 3.0))),
+                stride=tuple(p.get("DB_PROJ_STRIDE", (1.0, 2.5, 1.5))),
+            )
+
         # ---- incremental merge -------------------------------------------
         # The reference re-voxelizes the union of raw det points + occ
         # points (`combine_gt_occ_voxel_point`, torch.unique + scatter
@@ -515,7 +650,8 @@ class OccSubnet(nn.Module):
         # occ points share det voxels ~4:1 -- override via
         # OCC_PNT_UPDATE.MERGED_CAP_EXTRA for trained models that emit
         # many isolated occupancy points.
-        extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", K // 4))
+        merge_k = merge_valid.shape[1]
+        extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", merge_k // 4))
         merged_cap = per_frame_vox + extra
         Pd_m = self.det_max_points_merged
         C6 = occ_pts6.shape[-1]
@@ -526,6 +662,13 @@ class OccSubnet(nn.Module):
         vs = jnp.asarray(self.det_voxel_size, jnp.float32)
 
         det_vox_b = det_voxels.reshape(B, per_frame_vox, Pd, Cd)
+        det_numc_pre = jnp.clip(det_num.reshape(B, per_frame_vox), 0, Pd)
+        if train and self.real_drop and out.get("voxel_drop_mask") is not None:
+            det_vox_b, det_numc_pre = real_drop_det_points(
+                det_vox_b, det_numc_pre, out["voxel_drop_mask"], rot_z,
+                occ_lo=spec.point_cloud_range[:3], occ_vs=spec.voxel_size,
+                occ_grid=spec.grid_size, coord_type=spec.coord_type,
+            )
         det_vox6 = jnp.concatenate([
             det_vox_b,
             jnp.zeros(det_vox_b.shape[:-1] + (C6 - Cd,), det_vox_b.dtype),
@@ -536,7 +679,7 @@ class OccSubnet(nn.Module):
             jnp.zeros((B, per_frame_vox, Pd_m - Pd, C6), det_vox6.dtype),
         ], axis=2)
         det_coords_b = det_coords.reshape(B, per_frame_vox, 4)
-        det_numc = jnp.clip(det_num.reshape(B, per_frame_vox), 0, Pd)
+        det_numc = det_numc_pre
 
         merge = functools.partial(
             voxelizer.merge_points_into_voxels,
@@ -544,7 +687,7 @@ class OccSubnet(nn.Module):
             extra=extra, max_points=Pd_m,
         )
         vox, num, coords_zyx, row_valid = jax.vmap(merge)(
-            det_vox6, det_coords_b, det_numc, occ_pts6, valid
+            det_vox6, det_coords_b, det_numc, merge_pts, merge_valid
         )
 
         bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32)[:, None], merged_cap, axis=1)

@@ -51,6 +51,125 @@ def bev_raster(
     return img[::-1]  # +x up
 
 
+def collect_occ_vis_clouds(out, batch, spec, vis_cfg, frame=0):
+    """Assemble the reference's occ-debug views from one frame of model
+    outputs (reference `add_occ_template.visualize:290-422`, gated by the
+    `OCC_PNT_UPDATE.VIS` config block). Host-side numpy: the model's
+    output dict already carries every dense mask (`occ_subnet` returns
+    `dict(targets)`), so no device-side branching is needed.
+
+    Returns (tb_imgs, pc): BEV raster uint8 images for tensorboard, and
+    the point-cloud dict written to `cloud/*.npy` for
+    `tools/visual_utils/visualize_pc.py` -- keys match the reference so
+    the same viewer works.
+    """
+    g = lambda flag: bool(vis_cfg.get(flag, False))
+    b = frame
+    tb, pc = {}, {}
+
+    def npy(x):
+        return None if x is None else np.asarray(x)
+
+    rot_z = npy(batch.get("rot_z", None))
+    centers = np.asarray(spec.voxel_centers_xyz, np.float32)  # (nz,ny,nx,3)
+    if rot_z is not None and float(np.abs(rot_z[b])) > 1e-6:
+        # sensor -> world frame (reference rotatez(all_voxel_centers, rot_z))
+        ang = float(rot_z[b]) * np.pi / 180.0
+        c, s = np.cos(ang), np.sin(ang)
+        xy = centers[..., :2] @ np.array([[c, s], [-s, c]], np.float32)
+        centers = np.concatenate([xy, centers[..., 2:]], -1)
+    res = npy(out.get("res_mtrx", None))
+    gt_centers = centers
+    if res is not None:
+        r = res[b]
+        if r.shape[0] == 3 and r.shape[-1] != 3:     # channel-first layout
+            r = np.moveaxis(r, 0, -1)
+        gt_centers = centers + r
+
+    def mask_centers(mask, source=centers):
+        if mask is None:
+            return np.zeros((0, 3), np.float32)
+        m = np.asarray(mask[b]).astype(bool)
+        return source[m]
+
+    points = np.zeros((0, 3), np.float32)
+    if "points" in batch:
+        p = npy(batch["points"])[b]
+        points = p[np.abs(p[:, :3]).sum(-1) > 0][:, :3]
+    boxes = np.zeros((0, 7), np.float32)
+    if "gt_boxes" in batch:
+        gb = npy(batch["gt_boxes"])[b]
+        boxes = gb[np.abs(gb[:, 3:6]).sum(-1) > 0][:, :7]
+
+    def bev(occ_pts):
+        return bev_raster(points, boxes, occ_pts,
+                          point_cloud_range=spec.det_point_cloud_range)
+
+    gcls = npy(out.get("general_cls_loss_mask", None))
+    fore = npy(out.get("fore_voxelwise_mask", None))
+    mirr = npy(out.get("mirr_voxelwise_mask", None))
+    bm = npy(out.get("bm_voxelwise_mask", None))
+
+    if g("FORE_VOX_GT_VIEW") and fore is not None:
+        fc = mask_centers(fore, gt_centers)
+        pc["fore_gt_center"] = fc
+        tb["forevox_gt_view_img"] = bev(fc)
+    # occluded-region intersections (reference occ_{fore,mirr,bm}_cls_mask
+    # = the per-source masks clipped to the cls-loss region)
+    for flag, m, key in [
+        ("OCC_FORE_VOX_GT_VIEW", fore, "occ_fore_center"),
+        ("OCC_MIRR_VOX_GT_VIEW", mirr, "occ_mirr_center"),
+        ("OCC_BM_VOX_GT_VIEW", bm, "occ_bm_center"),
+    ]:
+        if g(flag) and m is not None and gcls is not None:
+            pc[key] = mask_centers(np.asarray(m) & np.asarray(gcls), gt_centers)
+    if g("OCC_POS_VOX_GT_VIEW"):
+        pc["occ_pos_center"] = mask_centers(npy(out.get("pos_mask")), gt_centers)
+    if g("OCC_NEG_VOX_GT_VIEW"):
+        pc["occ_neg_center"] = mask_centers(npy(out.get("neg_mask")), gt_centers)
+    if g("OCC_VOX"):
+        pc["occ_center"] = mask_centers(npy(out.get("occ_voxelwise_mask")), gt_centers)
+    if g("BM_VOX_VIEW"):
+        pc["bmvoxel_center"] = mask_centers(bm, gt_centers)
+    if g("CLS_LOSS"):
+        pc["general_cls_loss_center"] = mask_centers(gcls, gt_centers)
+    if g("FILTER_VIEW") and "vcc_mask" in out:
+        fc = mask_centers(npy(out["vcc_mask"]))
+        pc["filter_center"] = fc
+        tb["filter_view_img"] = bev(fc)
+    if g("DROP_VOX_VIEW") and out.get("voxel_drop_mask") is not None:
+        pc["drop_voxel_center"] = mask_centers(npy(out["voxel_drop_mask"]))
+    if g("BOX_VIEW") and out.get("forebox_label") is not None:
+        bc = mask_centers(npy(out["forebox_label"]))
+        pc["boxvoxel_center"] = bc
+        tb["box_view_img"] = bev(bc)
+
+    probs = npy(out.get("probs", out.get("occ_probs", None)))
+    if g("PRED_FORE_VIEW") and probs is not None:
+        for thresh in (0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1):
+            sel = centers[probs[b] >= thresh]
+            tb[f"pred_fore_{thresh}_img"] = bev(sel)
+            if thresh == 0.5:
+                pc["proboccpoints"] = sel
+    if g("ADD_PNT_VIEW") and out.get("occ_points") is not None:
+        op = npy(out["occ_points"])[b]
+        om = npy(out["occ_points_mask"])[b].astype(bool)
+        added = op[om][:, :3]
+        pc["addpnt_view"] = added
+        tb["addpnt_img"] = bev(added)
+
+    if g("OUTPUT_CLOUD"):
+        pc["gt_points"] = points
+        pc["gt_boxes"] = boxes
+        if "bm_points" in batch and g("BM_POINTS"):
+            bp = npy(batch["bm_points"])[b]
+            bmm = npy(batch["bm_points_mask"])[b].astype(bool)
+            pc["bm_points"] = bp[bmm][:, :3]
+    else:
+        pc = {}
+    return tb, pc
+
+
 def save_point_cloud(points, path, colors=None):
     """Dump points as .npy (the reference's cloud/ dumps) or .ply."""
     path = Path(path)

@@ -54,6 +54,11 @@ def parse_config():
     parser.add_argument("--vis_stride", type=int, default=0,
                         help="dump every Nth batch as a cloud .npy for "
                              "tools/visual_utils/visualize_pc.py (0=off)")
+    parser.add_argument("--num_epochs_to_eval", type=int, default=30,
+                        help="after training, eval this many newest "
+                             "checkpoints on the val split (reference "
+                             "train.py:202-222; 0=off, auto-off for "
+                             "--synthetic)")
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -164,6 +169,19 @@ def main():
         prof_lo, prof_hi = int(lo_s), int(hi_s or int(lo_s) + 1)
 
     cloud_dir = output_dir / "cloud"
+    # occ-debug view dumps (reference add_occ_template.visualize:290-422,
+    # gated by OCC_PNT_UPDATE.VIS; STEP_STRIDE = dump cadence)
+    vis_cfg = cfg.MODEL.get("OCC", {}).get("OCC_PNT_UPDATE", {}).get("VIS", None)
+    occ_vis_every = int(vis_cfg.get("STEP_STRIDE", 1000)) if vis_cfg else 0
+    occ_vis_fwd = None
+    if occ_vis_every:
+        from btcdet_tpu.models.occ import occ_targets as occ_T
+        from btcdet_tpu.utils import vis_utils
+        occ_spec = occ_T.build_grid_spec(cfg.DATA_CONFIG)
+        occ_vis_fwd = jax.jit(lambda v, b, r: net.apply(
+            v, b, train=True,
+            rngs={"sampling": r, "dropout": r},
+            mutable=["batch_stats"])[0])
     gstep_count = 0
     for epoch in range(start_epoch, epochs):
         for i, batch in enumerate(loader(epoch)):
@@ -188,6 +206,20 @@ def main():
                 np.save(cloud_dir / f"pc_{epoch}_{i}.npy", d)
             state, metrics = step_fn(state, jb, rng)
             gstep_count += 1
+            if occ_vis_fwd is not None and gstep_count % occ_vis_every == 0:
+                vout = occ_vis_fwd(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    jb, jax.random.fold_in(rng, gstep_count))
+                vout = jax.device_get(vout)
+                tb_imgs, pc = vis_utils.collect_occ_vis_clouds(
+                    vout, batch, occ_spec, vis_cfg)
+                if pc:
+                    cloud_dir.mkdir(parents=True, exist_ok=True)
+                    np.save(cloud_dir / f"occ_vis_{gstep_count}.npy", pc)
+                if tb is not None:
+                    for k, img in tb_imgs.items():
+                        tb.add_image(f"occ/{k}", img, gstep_count,
+                                     dataformats="HWC")
             if gstep_count == prof_hi:
                 jax.device_get(metrics["loss"])  # sync before stopping
                 jax.profiler.stop_trace()
@@ -205,6 +237,47 @@ def main():
             mgr.save(int(state.step), state)
             logger.info(f"saved checkpoint at step {int(state.step)}")
     logger.info("training done")
+
+    # trailing eval of the newest checkpoints on the val split
+    # (reference train.py:202-222: always evaluates the last 30 epochs
+    # after training via repeat_eval_ckpt)
+    if args.num_epochs_to_eval > 0 and not args.synthetic:
+        from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+        from btcdet_tpu.train import eval_utils
+        import torch.utils.data as tud
+
+        eval_dir = output_dir / "eval" / "eval_with_train"
+        eval_dir.mkdir(parents=True, exist_ok=True)
+        val_ds = KittiDataset(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
+            root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
+        )
+        bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+        vdl = tud.DataLoader(
+            val_ds, batch_size=bs, shuffle=False, num_workers=args.workers,
+            collate_fn=val_ds.collate_batch,
+        )
+        steps = sorted(mgr.mgr.all_steps())[-args.num_epochs_to_eval:]
+        best = {}
+        for s in steps:
+            restored, _ = mgr.restore(state, s)
+            logger.info(f"eval_with_train: checkpoint step {s}")
+            _, result_dict, _ = eval_utils.eval_one_epoch(
+                net,
+                {"params": restored.params, "batch_stats": restored.batch_stats},
+                vdl, val_ds, cfg.MODEL.POST_PROCESSING, cfg.CLASS_NAMES,
+                logger=logger, result_dir=eval_dir,
+                recall_thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+            )
+            for k, v in result_dict.items():
+                if tb is not None and isinstance(v, (int, float)):
+                    tb.add_scalar(f"eval/{k}", float(v), s)
+                if k.endswith("_R40") and v > best.get(k, -1):
+                    best[k] = v
+                    logger.info(f"new best {k}: {v:.4f} (step {s})")
+            with open(eval_dir / "eval_list_val.txt", "a") as f:
+                f.write(f"{s}\n")
+        logger.info(f"eval_with_train best results: {best}")
 
 
 if __name__ == "__main__":
