@@ -681,8 +681,12 @@ class OccSubnet(nn.Module):
         det_coords_b = det_coords.reshape(B, per_frame_vox, 4)
         det_numc = det_numc_pre
 
+        merge_fn = {
+            "v1": voxelizer.merge_points_into_voxels,
+            "v2": voxelizer.merge_points_into_voxels_v2,  # single-sort
+        }[self.model_cfg.OCC_PNT_UPDATE.get("MERGE_IMPL", "v1")]
         merge = functools.partial(
-            voxelizer.merge_points_into_voxels,
+            merge_fn,
             grid_size=(nxd, nyd, nzd), lo=lo, vs=vs,
             extra=extra, max_points=Pd_m,
         )

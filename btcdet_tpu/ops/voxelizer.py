@@ -232,6 +232,107 @@ def merge_points_into_voxels(
     return vox, num, coords_zyx, row_valid
 
 
+def merge_points_into_voxels_v2(
+    dvox: jax.Array, dcoords: jax.Array, dnum: jax.Array,
+    opts: jax.Array, ovalid: jax.Array,
+    *, grid_size: tuple, lo: jax.Array, vs: jax.Array,
+    extra: int, max_points: int,
+):
+    """Single-sort variant of `merge_points_into_voxels` (identical
+    contract and bitwise-identical outputs -- tests/test_voxelizer.py).
+
+    v1 pays TWO sorts per frame: argsort(K) to group the new points by
+    cell, plus searchsorted(method='sort') which internally sorts the
+    Nd+K concatenation. Here ONE stable argsort of the concatenated
+    [det keys | occ keys] array does both jobs: on equal keys the det
+    row sorts first (stable, det indices precede occ), so hit detection,
+    the hit row id, within-cell occ ranks and miss-cell ranks all fall
+    out of cheap segmented scans over the sorted array. Select with
+    OCC_PNT_UPDATE.MERGE_IMPL: v2 after benchmarking.
+    """
+    nxd, nyd, nzd = grid_size
+    Nd, Pd_m, C6 = dvox.shape
+    dz, dy, dx = dcoords[:, 1], dcoords[:, 2], dcoords[:, 3]
+    dvalid = dcoords[:, 0] >= 0
+    dkey = jnp.where(
+        dvalid, (dz * nyd + dy) * nxd + dx, INT32_MAX
+    ).astype(jnp.int32)
+
+    c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
+    inr = (
+        (c[:, 0] >= 0) & (c[:, 0] < nxd)
+        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
+        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
+    )
+    ok = ovalid & inr
+    okey = jnp.where(
+        ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
+    ).astype(jnp.int32)
+
+    K = okey.shape[0]
+    M = Nd + K
+    allk = jnp.concatenate([dkey, okey])
+    order = jnp.argsort(allk, stable=True)
+    sk = allk[order]
+    is_det = order < Nd
+    pos = jnp.arange(M, dtype=jnp.int32)
+
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    last_det = jax.lax.associative_scan(jnp.maximum, jnp.where(is_det, pos, -1))
+    has_det = last_det >= seg_start           # this key exists in the det table
+    live = (sk != INT32_MAX) & ~is_det        # real occ points
+
+    # within-cell occ rank: in-segment rank minus det elements seen
+    cdet = jnp.cumsum(is_det.astype(jnp.int32))
+    cdet_base = cdet[seg_start] - is_det[seg_start].astype(jnp.int32)
+    slot = (pos - seg_start) - (cdet - cdet_base)
+
+    det_row_at = jnp.where(is_det, order, 0).astype(jnp.int32)
+    ridx = det_row_at[jnp.clip(last_det, 0, M - 1)]
+    hit = has_det & live
+    sp = opts[jnp.clip(order - Nd, 0, K - 1)]  # payload at occ positions
+
+    # hits: append into existing voxels at slot dnum + within-cell rank
+    dest_slot = dnum[jnp.clip(ridx, 0, Nd - 1)] + slot
+    keep_h = hit & (dest_slot < Pd_m)
+    rr = jnp.where(keep_h, ridx, Nd)
+    ss = jnp.where(keep_h, dest_slot, 0)
+    dvox_p = jnp.concatenate([dvox, jnp.zeros((1, Pd_m, C6), dvox.dtype)], axis=0)
+    dvox_p = dvox_p.at[rr, ss].set(jnp.where(keep_h[:, None], sp, 0.0))
+    merged_vox = dvox_p[:Nd]
+    merged_num = jnp.concatenate([dnum, jnp.zeros((1,), dnum.dtype)])
+    merged_num = merged_num.at[rr].add(keep_h.astype(dnum.dtype))[:Nd]
+
+    # misses: fresh voxel rows in the extra block, in key order
+    miss_head = live & ~hit & (slot == 0)
+    nrank = jnp.cumsum(miss_head.astype(jnp.int32)) - 1
+    keep_m = ~hit & live & (nrank >= 0) & (nrank < extra) & (slot < Pd_m)
+    er = jnp.where(keep_m, nrank, extra)
+    es = jnp.where(keep_m, slot, 0)
+    evox = jnp.zeros((extra + 1, Pd_m, C6), dvox.dtype)
+    evox = evox.at[er, es].set(jnp.where(keep_m[:, None], sp, 0.0))[:extra]
+    enum = jnp.zeros((extra + 1,), dnum.dtype).at[er].add(
+        keep_m.astype(dnum.dtype))[:extra]
+    ekey = jnp.full((extra + 1,), INT32_MAX)
+    ekey = ekey.at[jnp.where(miss_head & (nrank < extra), nrank, extra)].min(
+        jnp.where(miss_head, sk, INT32_MAX))[:extra]
+    epad = ekey == INT32_MAX
+    ez = ekey // (nyd * nxd)
+    ey = (ekey - ez * (nyd * nxd)) // nxd
+    ex = ekey - ez * (nyd * nxd) - ey * nxd
+    ecoords = jnp.stack([
+        jnp.where(epad, -1, ez), jnp.where(epad, -1, ey),
+        jnp.where(epad, -1, ex),
+    ], axis=-1).astype(jnp.int32)
+
+    vox = jnp.concatenate([merged_vox, evox], axis=0)
+    num = jnp.concatenate([merged_num, enum], axis=0)
+    coords_zyx = jnp.concatenate([dcoords[:, 1:4], ecoords], axis=0)
+    row_valid = jnp.concatenate([dvalid, ~epad], axis=0)
+    return vox, num, coords_zyx, row_valid
+
+
 _NATIVE_LIB = None
 _NATIVE_TRIED = False
 

@@ -186,3 +186,61 @@ def test_native_matches_numpy():
             V._NATIVE_LIB = keep
         for a, b, name in zip(native, ref, ("voxels", "coords", "num")):
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_merge_v2_matches_v1_bitwise():
+    """merge_points_into_voxels_v2 (single stable sort + segmented
+    scans) must reproduce v1 (argsort + searchsorted) bitwise on every
+    output, across slot overflow, extra-block overflow, out-of-range
+    points, invalid det rows, and heavy cell collisions."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    pcr = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+    vs = (0.5, 0.5, 0.5)
+    nx, ny, nz = voxelizer.compute_grid_size(pcr, vs)
+
+    for trial, (n_base, n_det, mp, K, extra) in enumerate([
+        (900, 300, 6, 250, 120),
+        (900, 300, 2, 400, 8),     # slot + extra overflow
+        (80, 60, 4, 500, 64),      # mostly misses
+        (900, 150, 4, 30, 16),     # few new points, det overflowed table
+    ]):
+        r = np.random.RandomState(100 + trial)
+        base = np.concatenate([
+            r.uniform((0, -8, -3), (16, 8, 1), (n_base, 3)),
+            r.rand(n_base, 1)], 1).astype(np.float32)
+        res = voxelizer.voxelize(
+            jnp.asarray(base), jnp.ones(n_base, bool),
+            point_cloud_range=pcr, voxel_size=vs,
+            max_points=mp, max_voxels=n_det,
+        )
+        coords4 = np.concatenate([
+            np.where(np.asarray(res.coords[:, :1]) >= 0, 0, -1),
+            np.asarray(res.coords)], axis=1).astype(np.int32)
+
+        new = np.concatenate([
+            r.uniform((-2, -10, -4), (18, 10, 2), (K, 3)),  # some out of range
+            r.rand(K, 1)], 1).astype(np.float32)
+        # heavy collisions: half the new points into occupied cells
+        occ = np.asarray(res.coords[np.asarray(res.num_points) > 0])
+        if len(occ):
+            sel = occ[r.randint(0, len(occ), K // 2)]
+            new[:K // 2, :3] = np.stack([
+                (sel[:, 2] + 0.5) * vs[0] + pcr[0],
+                (sel[:, 1] + 0.5) * vs[1] + pcr[1],
+                (sel[:, 0] + 0.5) * vs[2] + pcr[2]], 1)
+        valid = r.rand(K) > 0.15
+
+        kw = dict(grid_size=(nx, ny, nz), lo=jnp.asarray(pcr[:3], jnp.float32),
+                  vs=jnp.asarray(vs, jnp.float32), extra=extra, max_points=mp)
+        out1 = voxelizer.merge_points_into_voxels(
+            res.voxels, jnp.asarray(coords4), res.num_points,
+            jnp.asarray(new), jnp.asarray(valid), **kw)
+        out2 = voxelizer.merge_points_into_voxels_v2(
+            res.voxels, jnp.asarray(coords4), res.num_points,
+            jnp.asarray(new), jnp.asarray(valid), **kw)
+        for a, b, name in zip(out1, out2, ("vox", "num", "coords", "valid")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"trial {trial}: {name}")

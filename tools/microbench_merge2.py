@@ -67,3 +67,7 @@ def with_scatter(dvox_f, dcoords_f, dnum_f, opts_f, ovalid_f):
     dvox_p = dvox_p.at[rr, dest].set(jnp.where(hit[:, None], sp, 0.0))
     return dvox_p[:Nd]
 timeit("+ hit scatter", lambda *a: jax.vmap(with_scatter)(*a), dvox, dcoords, dnum, opts, ovalid)
+
+merge2 = functools.partial(voxelizer.merge_points_into_voxels_v2,
+                           grid_size=GRID, lo=lo, vs=vs, extra=extra, max_points=Pd)
+timeit("full merge v2 (1 sort)", lambda *a: jax.vmap(merge2)(*a), dvox, dcoords, dnum, opts, ovalid)
