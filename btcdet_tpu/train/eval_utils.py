@@ -59,6 +59,30 @@ def occ_match_stats(probs, targets, thresholds=(0.3, 0.5, 0.7)):
     return out
 
 
+def occ_box_coverage(occ_points, occ_mask, gt_boxes,
+                     thresholds=tuple(t / 10.0 for t in range(1, 10))):
+    """Per-occ-threshold gt-box coverage (reference `occ_post_processing`
+    `detector3d_template.py:515-535`): for each threshold, the count of
+    gt boxes containing at least one predicted occupancy point whose
+    prob >= threshold. occ_points: (K, >=4) xyz+prob; gt_boxes: (M, 7+)
+    zero-padded rows ignored."""
+    from ..utils import box_utils
+
+    gb = np.asarray(gt_boxes)
+    gb = gb[np.abs(gb[:, 3:6]).sum(-1) > 0]
+    pts = np.asarray(occ_points)[np.asarray(occ_mask).astype(bool)]
+    out = {"box_num_sum": int(len(gb))}
+    if len(gb) == 0 or len(pts) == 0:
+        out["occ_box_num"] = [0] * len(thresholds)
+        return out
+    inbox = np.asarray(box_utils.points_in_boxes_mask(pts[:, :3], gb[:, :7]))
+    prob = pts[:, 3]
+    out["occ_box_num"] = [
+        int(inbox[prob >= t].any(axis=0).sum()) for t in thresholds
+    ]
+    return out
+
+
 def recall_record(pred_boxes, pred_valid, rois, roi_valid, gt_boxes, thresh_list):
     """roi/rcnn recall vs gt at IoU thresholds (reference
     `generate_recall_record:548`). All numpy, per frame."""
@@ -115,6 +139,7 @@ def eval_one_epoch(
         return post
 
     occ_stats_acc = {}
+    cov_acc = {}
     batch_idx = -1
     for batch in dataloader:
         batch_idx += 1
@@ -144,6 +169,15 @@ def eval_one_epoch(
             batch_for_annos, pred_dicts, class_names,
             output_path=result_dir,
         )
+        if "gt_boxes" in batch and "occ_points" in post:
+            # per-threshold box coverage (reference occ_post_processing)
+            for b in range(B):
+                cov = occ_box_coverage(
+                    post["occ_points"][b], post["occ_points_mask"][b],
+                    np.asarray(batch["gt_boxes"][b]))
+                cov_acc["box_num_sum"] = cov_acc.get("box_num_sum", 0) + cov["box_num_sum"]
+                prev = cov_acc.get("occ_box_num", [0] * len(cov["occ_box_num"]))
+                cov_acc["occ_box_num"] = [a + c for a, c in zip(prev, cov["occ_box_num"])]
         if "gt_boxes" in batch:
             for b in range(B):
                 rec = recall_record(
@@ -179,6 +213,10 @@ def eval_one_epoch(
     result_dict["frames_per_sec"] = 1.0 / max(sec_per_example, 1e-9)
     for k, vals in occ_stats_acc.items():
         result_dict[k] = float(np.mean(vals))
+    if cov_acc.get("box_num_sum", 0) > 0:
+        for i, n in enumerate(cov_acc["occ_box_num"]):
+            result_dict[f"occ_box_cvrg@{(i + 1) / 10:.1f}"] = (
+                n / cov_acc["box_num_sum"])
     if logger:
         logger.info("\n" + result_str)
     return result_str, result_dict, det_annos

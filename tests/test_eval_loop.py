@@ -51,6 +51,11 @@ def test_eval_loop_end_to_end(kitti_root):
     assert np.isfinite(result_dict["Car_3d/moderate_R40"])
     assert result_dict["frames_per_sec"] > 0
     assert "occ_f1@0.5" in result_dict
+    # per-occ-threshold box coverage diagnostic (reference
+    # occ_post_processing): monotone non-increasing in the threshold
+    covs = [result_dict[f"occ_box_cvrg@{t/10:.1f}"] for t in range(1, 10)]
+    assert all(0.0 <= c <= 1.0 for c in covs)
+    assert all(a >= b - 1e-9 for a, b in zip(covs, covs[1:]))
     assert len(det_annos) == len(ds)
     for anno in det_annos:
         assert set(anno) >= {"name", "bbox", "location", "dimensions",

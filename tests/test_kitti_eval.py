@@ -220,3 +220,31 @@ def test_compute_coverage_rates(tmp_path):
     assert rates[0] > 0.95, rates
     assert 0.0 < rates[1] < 0.2, rates
     assert rates[2] == 0.0
+
+
+def test_occ_box_coverage():
+    """Per-occ-threshold gt-box coverage (reference occ_post_processing
+    detector3d_template.py:515-535)."""
+    import numpy as np
+    from btcdet_tpu.train.eval_utils import occ_box_coverage
+
+    boxes = np.array([
+        [0, 0, 0, 4, 2, 2, 0, 1],
+        [10, 0, 0, 4, 2, 2, 0, 1],
+        [0, 0, 0, 0, 0, 0, 0, 0],   # pad row ignored
+    ], np.float32)
+    pts = np.array([
+        [0.5, 0.2, 0.1, 0.95],   # box 0, high prob
+        [10.1, 0.0, 0.0, 0.35],  # box 1, low prob
+        [50, 50, 50, 0.99],      # outside both
+    ], np.float32)
+    mask = np.array([True, True, True])
+    cov = occ_box_coverage(pts, mask, boxes)
+    assert cov["box_num_sum"] == 2
+    # thresholds 0.1..0.9: both boxes covered up to 0.3; only box 0 after
+    assert cov["occ_box_num"] == [2, 2, 2, 1, 1, 1, 1, 1, 1]
+    # masked-out / empty cases stay well-formed
+    cov0 = occ_box_coverage(pts, np.zeros(3, bool), boxes)
+    assert cov0["occ_box_num"] == [0] * 9
+    cov_nb = occ_box_coverage(pts, mask, np.zeros((2, 8), np.float32))
+    assert cov_nb["box_num_sum"] == 0
