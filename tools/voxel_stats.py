@@ -52,7 +52,19 @@ def main(n_frames=8, mode="test", caps=None):
                 bb["gt_boxes"].shape[0],
             )
             r = m.backbone_3d(st, occ_code, train=train)
+            B = bb["gt_boxes"].shape[0]
+            # PassOccVox capacity utilization (tune EVAL_MAX_NUM_OCC_PNTS
+            # and OCC_PNT_UPDATE.MERGED_CAP_EXTRA from these)
+            occ_pts = out["occ_points_mask"].sum() if m.use_occ else 0
+            extra_used = 0
+            if m.use_occ:
+                mc = merged["det_voxel_coords"].shape[0] // B
+                pf = bb["det_voxels"].shape[0] // B
+                cc = merged["det_voxel_coords"].reshape(B, mc, 4)
+                extra_used = (cc[:, pf:, 0] >= 0).sum(axis=1).max()
             return {
+                "occ_pnts": occ_pts,
+                "mrg_extra": extra_used,
                 "in": st.nnz,
                 "x_conv1": r["x_conv1"].nnz,
                 "x_conv2": r["x_conv2"].nnz,
