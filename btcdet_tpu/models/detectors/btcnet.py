@@ -34,6 +34,14 @@ from ..occ import occ_subnet
 from ..roi_heads import conv_head as conv_head_mod
 from ..roi_heads import roi_head_utils
 
+# occ-subnet dense masks exported (train only) for the OCC_PNT_UPDATE.VIS
+# debug views, read by utils.vis_utils.collect_occ_vis_clouds
+VIS_MASK_KEYS = (
+    "general_cls_loss_mask", "fore_voxelwise_mask", "mirr_voxelwise_mask",
+    "bm_voxelwise_mask", "pos_mask", "neg_mask", "occ_voxelwise_mask",
+    "vcc_mask", "voxel_drop_mask", "forebox_label", "res_mtrx",
+)
+
 
 class BtcNet(nn.Module):
     """Full detector. Config objects are reference-schema EasyDicts."""
@@ -240,6 +248,13 @@ class BtcNet(nn.Module):
                 out["occ_cls_mask"] = occ_out["general_cls_loss_mask"]
             if train and "loss" in occ_out:
                 out["occ_loss"] = occ_out["loss"]
+            if train:
+                # dense masks for the OCC_PNT_UPDATE.VIS debug views
+                # (collect_occ_vis_clouds); XLA dead-code-eliminates
+                # these from the train step, which only keeps the loss
+                for k in VIS_MASK_KEYS:
+                    if occ_out.get(k) is not None:
+                        out[k] = occ_out[k]
         else:
             voxels = batch["voxels"]
             voxel_coords = batch["voxel_coords"]

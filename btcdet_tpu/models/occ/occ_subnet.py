@@ -650,8 +650,11 @@ class OccSubnet(nn.Module):
         # occ points share det voxels ~4:1 -- override via
         # OCC_PNT_UPDATE.MERGED_CAP_EXTRA for trained models that emit
         # many isolated occupancy points.
-        merge_k = merge_valid.shape[1]
-        extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", merge_k // 4))
+        # default headroom stays K//4 even under DB_PROJ (a lattice-
+        # expanded candidate set would otherwise inflate static merge +
+        # det-backbone capacity ~E-fold); set MERGED_CAP_EXTRA explicitly
+        # when enabling DB_PROJ
+        extra = int(self.model_cfg.OCC_PNT_UPDATE.get("MERGED_CAP_EXTRA", K // 4))
         merged_cap = per_frame_vox + extra
         Pd_m = self.det_max_points_merged
         C6 = occ_pts6.shape[-1]

@@ -105,10 +105,32 @@ def recall_record(pred_boxes, pred_valid, rois, roi_valid, gt_boxes, thresh_list
     return out
 
 
+def make_infer(net, post_cfg, num_classes):
+    """Jitted eval forward + post-processing. Build ONCE and pass as
+    `infer_fn` when evaluating many checkpoints (tools/test.py
+    --eval_all, tools/train.py trailing eval): a fresh closure per
+    checkpoint would recompile the full model every time (~1-2 min on
+    TPU each)."""
+
+    @jax.jit
+    def infer(variables, batch):
+        out = net.apply(variables, batch, train=False)
+        post = post_processing(out, post_cfg, num_classes)
+        post["rois"] = out.get("rois")
+        post["roi_valid"] = out.get("roi_valid")
+        for k in ("occ_probs", "occ_pos_mask", "occ_cls_mask",
+                  "occ_points", "occ_points_mask"):
+            if k in out:
+                post[k] = out[k]
+        return post
+
+    return infer
+
+
 def eval_one_epoch(
     net, variables, dataloader, dataset, post_cfg, class_names,
     logger=None, result_dir=None, recall_thresh_list=(0.3, 0.5, 0.7),
-    cloud_dir=None, vis_stride: int = 0, mesh=None,
+    cloud_dir=None, vis_stride: int = 0, mesh=None, infer_fn=None,
 ):
     """reference `eval_one_epoch:41`. dataloader yields collated batches.
 
@@ -126,17 +148,8 @@ def eval_one_epoch(
     n_frames = 0
     t_start = time.time()
 
-    @jax.jit
-    def infer(variables, batch):
-        out = net.apply(variables, batch, train=False)
-        post = post_processing(out, post_cfg, len(class_names))
-        post["rois"] = out.get("rois")
-        post["roi_valid"] = out.get("roi_valid")
-        for k in ("occ_probs", "occ_pos_mask", "occ_cls_mask",
-                  "occ_points", "occ_points_mask"):
-            if k in out:
-                post[k] = out[k]
-        return post
+    infer = infer_fn if infer_fn is not None else make_infer(
+        net, post_cfg, len(class_names))
 
     occ_stats_acc = {}
     cov_acc = {}

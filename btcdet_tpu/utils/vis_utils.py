@@ -74,10 +74,12 @@ def collect_occ_vis_clouds(out, batch, spec, vis_cfg, frame=0):
     centers = np.asarray(spec.voxel_centers_xyz, np.float32)  # (nz,ny,nx,3)
     if rot_z is not None and float(np.abs(rot_z[b])) > 1e-6:
         # sensor -> world frame (reference rotatez(all_voxel_centers, rot_z))
-        ang = float(rot_z[b]) * np.pi / 180.0
-        c, s = np.cos(ang), np.sin(ang)
-        xy = centers[..., :2] @ np.array([[c, s], [-s, c]], np.float32)
-        centers = np.concatenate([xy, centers[..., 2:]], -1)
+        from .common import rotate_points_along_z_np
+        sh = centers.shape
+        centers = rotate_points_along_z_np(
+            centers.reshape(1, -1, 3),
+            np.asarray([float(rot_z[b]) * np.pi / 180.0], np.float32),
+        ).reshape(sh)
     res = npy(out.get("res_mtrx", None))
     gt_centers = centers
     if res is not None:

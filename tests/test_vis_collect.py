@@ -102,3 +102,40 @@ def test_output_cloud_off_suppresses_pc():
     tb, pc = vis_utils.collect_occ_vis_clouds(out, batch, spec, flags)
     assert pc == {}
     assert tb  # images still produced for tensorboard
+
+
+def test_btcnet_exports_vis_masks_end_to_end():
+    """The full-model train forward must carry every VIS mask out of the
+    occ subnet (BtcNet VIS_MASK_KEYS) so the train-loop dump path sees
+    real data — guards the plumbing, not just the collector."""
+    import jax
+    import jax.numpy as jnp
+    from btcdet_tpu.datasets import make_synthetic_batch
+    from btcdet_tpu.datasets.mini_config import mini_model_cfg
+    from btcdet_tpu.models import build_network
+
+    data_cfg = mini_data_cfg(with_occ=True)
+    model_cfg = mini_model_cfg(with_occ=True)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
+        CfgBox(data_cfg), batch_size=2, num_points=4096, num_gt=4).items()}
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda r, b: net.init(r, b, train=True))(rngs, batch)
+    out, _ = net.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    for k in ("general_cls_loss_mask", "fore_voxelwise_mask", "pos_mask",
+              "neg_mask", "occ_voxelwise_mask", "vcc_mask"):
+        assert k in out, f"BtcNet train output missing VIS mask {k}"
+
+    spec = T.build_grid_spec(CfgBox(data_cfg))
+    out_np = jax.device_get(out)
+    batch_np = jax.device_get(batch)
+    tb, pc = vis_utils.collect_occ_vis_clouds(out_np, batch_np, spec, all_flags())
+    # the observed-voxel-derived views must be non-empty on real data
+    assert len(pc["general_cls_loss_center"]) > 0
+    assert len(pc["occ_center"]) > 0
+    assert pc["gt_points"].shape[0] > 0

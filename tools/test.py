@@ -63,7 +63,7 @@ def build_eval(args, cfg, logger):
     return net, dl, dataset
 
 
-def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
+def eval_ckpt(net, dl, dataset, state, args, result_dir, logger, infer_fn=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mesh = None
     if args.data_parallel:
@@ -77,6 +77,7 @@ def eval_ckpt(net, dl, dataset, state, args, result_dir, logger):
         cloud_dir=(result_dir / "cloud") if args.vis_stride else None,
         vis_stride=args.vis_stride,
         mesh=mesh,
+        infer_fn=infer_fn,
     )
 
 
@@ -100,6 +101,10 @@ def main():
     mgr = ckpt_mod.CheckpointManager(ckpt_dir)
     evaluated = set()
     best = {}
+    # one jitted eval fn across the --eval_all polling loop (per-ckpt
+    # closures would recompile the full model every 30 s poll hit)
+    infer_fn = eval_utils.make_infer(
+        net, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
     wait_start = time.time()
     while True:
         step = mgr.latest_step()
@@ -115,8 +120,13 @@ def main():
         for s in sorted(todo):
             restored, _ = mgr.restore(state, s)
             logger.info(f"evaluating checkpoint step {s}")
+            # per-checkpoint result dir (reference keeps epoch_N/val)
+            step_dir = output_dir / f"step_{s}" / "val"
+            if args.save_to_file or args.vis_stride:
+                step_dir.mkdir(parents=True, exist_ok=True)
             result_str, result_dict, _ = eval_ckpt(
-                net, dl, dataset, restored, args, output_dir, logger
+                net, dl, dataset, restored, args, step_dir, logger,
+                infer_fn=infer_fn,
             )
             for k, v in result_dict.items():
                 if k.endswith("_R40") and v > best.get(k, -1):

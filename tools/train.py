@@ -178,10 +178,19 @@ def main():
         from btcdet_tpu.models.occ import occ_targets as occ_T
         from btcdet_tpu.utils import vis_utils
         occ_spec = occ_T.build_grid_spec(cfg.DATA_CONFIG)
-        occ_vis_fwd = jax.jit(lambda v, b, r: net.apply(
-            v, b, train=True,
-            rngs={"sampling": r, "dropout": r},
-            mutable=["batch_stats"])[0])
+        from btcdet_tpu.models.detectors.btcnet import VIS_MASK_KEYS
+        _vis_keys = VIS_MASK_KEYS + ("probs", "occ_probs", "occ_points",
+                                     "occ_points_mask")
+
+        @jax.jit
+        def occ_vis_fwd(v, b, r):
+            # return ONLY the collector's keys: XLA then dead-code
+            # eliminates the det subnet, and device_get stays small
+            # (CLAUDE.md: tunnel transfer ~4.8 ms/MB)
+            o = net.apply(v, b, train=True,
+                          rngs={"sampling": r, "dropout": r},
+                          mutable=["batch_stats"])[0]
+            return {k: o[k] for k in _vis_keys if o.get(k) is not None}
     gstep_count = 0
     for epoch in range(start_epoch, epochs):
         for i, batch in enumerate(loader(epoch)):
@@ -259,15 +268,23 @@ def main():
         )
         steps = sorted(mgr.mgr.all_steps())[-args.num_epochs_to_eval:]
         best = {}
+        # one jitted eval fn for all checkpoints (a per-checkpoint
+        # closure would recompile the full model every iteration)
+        infer_fn = eval_utils.make_infer(
+            net, cfg.MODEL.POST_PROCESSING, len(cfg.CLASS_NAMES))
         for s in steps:
             restored, _ = mgr.restore(state, s)
             logger.info(f"eval_with_train: checkpoint step {s}")
+            # per-checkpoint result dir (reference keeps epoch_N/val dirs)
+            step_dir = eval_dir / f"step_{s}" / "val"
+            step_dir.mkdir(parents=True, exist_ok=True)
             _, result_dict, _ = eval_utils.eval_one_epoch(
                 net,
                 {"params": restored.params, "batch_stats": restored.batch_stats},
                 vdl, val_ds, cfg.MODEL.POST_PROCESSING, cfg.CLASS_NAMES,
-                logger=logger, result_dir=eval_dir,
+                logger=logger, result_dir=step_dir,
                 recall_thresh_list=cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST,
+                infer_fn=infer_fn,
             )
             for k, v in result_dict.items():
                 if tb is not None and isinstance(v, (int, float)):
