@@ -79,6 +79,12 @@ def multi_ball_query(
         else:
             r2.append((0.0, float(r) ** 2))
     r_out_max = max(hi for _, hi in r2)
+    if shared_candidates and any(lo > 0.0 for lo, _ in r2):
+        # nearest-k candidates are a sound subset only for lo=0 balls: a
+        # shell (annulus) scale's true neighbors can ALL be displaced by
+        # points inside its inner radius, zeroing the scale even when the
+        # annulus is sparsely populated -- use exact per-scale selection
+        shared_candidates = False
 
     B, M, _ = new_xyz.shape
     N = xyz.shape[1]
@@ -239,6 +245,7 @@ def group_from_idx(
         offs = jnp.einsum("bmnj,bmij->bmni", offs, rotate_matrix)
     if xy_scale is not None:
         offs = offs.at[..., :2].divide(xy_scale[:, :, None, None])
+    if z_scale is not None:
         offs = offs.at[..., 2:3].divide(z_scale[:, :, None, None])
     if features is not None:
         grouped_feats = jnp.where(empty[..., None, None], 0.0, grouped_feats)
@@ -270,6 +277,7 @@ def query_and_group(
         offs = jnp.einsum("bmnj,bmij->bmni", offs, rotate_matrix)
     if xy_scale is not None:
         offs = offs.at[..., :2].divide(xy_scale[:, :, None, None])
+    if z_scale is not None:
         offs = offs.at[..., 2:3].divide(z_scale[:, :, None, None])
     if features is not None:
         grouped_feats = jnp.where(empty[..., None, None], 0.0, grouped_feats)

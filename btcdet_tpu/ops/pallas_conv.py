@@ -462,9 +462,6 @@ def _fused_call(table, keys_blk, qk, starts_blk, nnz, weights, *, mode, G, TPG,
                 T, WIN, NB, CO, interpret=False):
     MP = qk.shape[1]
     tiles = MP // T
-    C = weights.shape[2] if mode == "conv" else table.shape[1]
-    if mode != "conv":
-        C = CO  # pooling: in channels == out channels
     CP = table.shape[1]
     kb = WIN // LANES
 
@@ -556,18 +553,39 @@ def _conv_fwd(in_features, in_keys, qk, weights, *, G, TPG, T, WIN, NB, M,
     return out[:M]
 
 
+def cached_qk_subm(coords, valid, spatial_shape, batch_size, kernel_size, T,
+                   cache=None, cache_key=None):
+    """qkeys_subm with rulebook-cache sharing; the ONE place that owns the
+    subm qk cache-key format (sparse.py delegates here)."""
+    ck = ("pallas_subm_qk", cache_key, _triple(kernel_size))
+    if cache is not None and cache_key and ck in cache:
+        return cache[ck]
+    out = qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, T)
+    if cache is not None and cache_key:
+        cache[ck] = out
+    return out
+
+
+def cached_qk_conv(out_coords, out_valid, in_spatial_shape, batch_size,
+                   kernel_size, stride, padding, T, transpose=False,
+                   cache=None, cache_key=None):
+    """qkeys_conv with rulebook-cache sharing (owns the cache-key format)."""
+    ck = ("pallas_conv_qk", cache_key, _triple(kernel_size), transpose)
+    if cache is not None and cache_key and ck in cache:
+        return cache[ck]
+    out = qkeys_conv(out_coords, out_valid, in_spatial_shape, batch_size,
+                     kernel_size, stride, padding, T, transpose=transpose)
+    if cache is not None and cache_key:
+        cache[ck] = out
+    return out
+
+
 def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
                     batch_size, weights, kernel_size, *, T=256, WIN=128, NB=6,
                     cache=None, cache_key=None, interpret=False):
     """Submanifold conv forward on the fused kernel. Returns (M, CO) f32."""
-    ck = ("pallas_subm_qk", cache_key, _triple(kernel_size))
-    if cache is not None and cache_key and ck in cache:
-        qk, G, TPG = cache[ck]
-    else:
-        qk, G, TPG = qkeys_subm(st_coords, st_valid, spatial_shape, batch_size,
-                                kernel_size, T)
-        if cache is not None and cache_key:
-            cache[ck] = (qk, G, TPG)
+    qk, G, TPG = cached_qk_subm(st_coords, st_valid, spatial_shape, batch_size,
+                                kernel_size, T, cache, cache_key)
     return _conv_fwd(st_features, st_keys, qk, weights, G=G, TPG=TPG, T=T,
                      WIN=WIN, NB=NB, M=st_features.shape[0],
                      nnz=jnp.sum(st_valid), interpret=interpret)
@@ -578,15 +596,10 @@ def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
                transpose=False, T=128, WIN=128, NB=6, cache=None,
                cache_key=None, interpret=False):
     """Strided (or transpose/inverse) conv forward on the fused kernel."""
-    ck = ("pallas_conv_qk", cache_key, _triple(kernel_size), transpose)
-    if cache is not None and cache_key and ck in cache:
-        qk, G, TPG = cache[ck]
-    else:
-        qk, G, TPG = qkeys_conv(out_coords, out_valid, in_spatial_shape,
+    qk, G, TPG = cached_qk_conv(out_coords, out_valid, in_spatial_shape,
                                 batch_size, kernel_size, stride, padding, T,
-                                transpose=transpose)
-        if cache is not None and cache_key:
-            cache[ck] = (qk, G, TPG)
+                                transpose=transpose, cache=cache,
+                                cache_key=cache_key)
     return _conv_fwd(in_features, in_keys, qk, weights, G=G, TPG=TPG, T=T,
                      WIN=WIN, NB=NB, M=out_coords.shape[0],
                      nnz=jnp.sum(out_valid), interpret=interpret)

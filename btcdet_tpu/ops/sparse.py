@@ -208,7 +208,10 @@ def lookup_in(
     total = st.batch_size * nz * ny * nx
     if total > DENSE_LOOKUP_MAX_CELLS:
         return lookup(st.keys, queries)
-    tkey = ("dtable", st.spatial_shape, st.batch_size)
+    # key includes the coordinate-set identity (the keys array object):
+    # two same-shape tensors with different active sites sharing one
+    # cache dict must NOT resolve against each other's table
+    tkey = ("dtable", id(st.keys), st.spatial_shape, st.batch_size)
     if cache is not None and tkey in cache:
         table = cache[tkey]
     else:
@@ -269,7 +272,7 @@ def subm_rulebook(st: SparseTensor, kernel_size, cache: dict | None = None) -> t
     qcoords = jnp.concatenate([b[..., None], nbr], axis=-1).reshape(-1, 4)
     qcoords = jnp.where(inb.reshape(-1)[:, None], qcoords, -1)
     qkeys = linear_key(qcoords, st.spatial_shape, st.batch_size)
-    idx, found = lookup_in(st, qkeys)
+    idx, found = lookup_in(st, qkeys, cache)
     K = offsets.shape[0]
     return idx.reshape(K, -1), found.reshape(K, -1)
 
@@ -904,27 +907,17 @@ _pallas_pool_ad.defvjp(_pallas_pool_ad_fwd, _pallas_pool_ad_bwd)
 
 
 def _pallas_subm_qk(st: SparseTensor, kernel_size, cache, key, T):
-    ck = ("pallas_subm_qk", key, _triple(kernel_size))
-    if cache is not None and key and ck in cache:
-        return cache[ck]
-    qk, G, TPG = pallas_conv.qkeys_subm(
-        st.coords, st.valid, st.spatial_shape, st.batch_size, kernel_size, T)
-    if cache is not None and key:
-        cache[ck] = (qk, G, TPG)
-    return qk, G, TPG
+    return pallas_conv.cached_qk_subm(
+        st.coords, st.valid, st.spatial_shape, st.batch_size, kernel_size, T,
+        cache, key)
 
 
 def _pallas_conv_qk(in_st: SparseTensor, out_coords, out_valid, kernel_size,
                     stride, padding, cache, key, T, transpose=False):
-    ck = ("pallas_conv_qk", key, _triple(kernel_size), transpose)
-    if cache is not None and key and ck in cache:
-        return cache[ck]
-    qk, G, TPG = pallas_conv.qkeys_conv(
+    return pallas_conv.cached_qk_conv(
         out_coords, out_valid, in_st.spatial_shape, in_st.batch_size,
-        kernel_size, stride, padding, T, transpose=transpose)
-    if cache is not None and key:
-        cache[ck] = (qk, G, TPG)
-    return qk, G, TPG
+        kernel_size, stride, padding, T, transpose=transpose, cache=cache,
+        cache_key=key)
 
 
 # --------------------------------------------------------------- modules
@@ -1204,6 +1197,7 @@ class SparseMaxPool3d(nn.Module):
             else:
                 in_idx, found = rb
                 out = apply_rulebook_max(st.features, in_idx, found)
+        out = out.astype(st.features.dtype)  # engine-independent dtype
         return SparseTensor(
             features=out,
             coords=coords,
@@ -1258,6 +1252,7 @@ class FixedSparseConv3d(nn.Module):
                 gathered = st.features[in_idx]
                 gathered = jnp.where(found[..., None], gathered, 0.0)
                 out = gathered.sum(axis=0) * self.default_value
+        out = out.astype(st.features.dtype)  # engine-independent dtype
         return SparseTensor(
             features=out,
             coords=coords,

@@ -123,3 +123,35 @@ def test_fps_spreads():
     idx = group_ops.furthest_point_sample(jnp.asarray(xyz), jnp.asarray(mask), 16)
     got = np.asarray(idx[0])
     assert len(set(got.tolist())) == 16  # distinct points
+
+
+def test_shell_query_shared_candidates_falls_back_to_exact():
+    """A shell (annulus) scale whose true neighbors sit beyond k_max
+    nearer inner-ball points must still find them: shared-candidate
+    selection is disabled when any scale has an inner radius."""
+    import jax.numpy as jnp
+    from btcdet_tpu.ops import group_ops
+
+    rng = np.random.RandomState(0)
+    B, M = 1, 4
+    centers = rng.uniform(-5, 5, (B, M, 3)).astype(np.float32)
+    # 64 points hugging each center (inside r=0.5) + 8 annulus points
+    near = centers[:, :, None, :] + rng.uniform(
+        -0.2, 0.2, (B, M, 64, 3)).astype(np.float32)
+    ring_dir = rng.randn(B, M, 8, 3).astype(np.float32)
+    ring_dir /= np.linalg.norm(ring_dir, axis=-1, keepdims=True)
+    ring = centers[:, :, None, :] + ring_dir * 2.0   # dist 2.0: in (1, 3)
+    pts = np.concatenate([near.reshape(B, -1, 3), ring.reshape(B, -1, 3)], 1)
+    mask = np.ones(pts.shape[:2], bool)
+
+    out = group_ops.multi_ball_query(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+        jnp.ones((B, M), bool), radii=[0.5, (1.0, 3.0)], nsamples=[16, 8],
+        approx=False, shared_candidates=True,
+    )
+    idx_shell, empty_shell = out[1]
+    assert not np.asarray(empty_shell).any(), (
+        "annulus neighbors lost to inner-ball candidate starvation")
+    d = np.linalg.norm(
+        np.asarray(pts)[0][np.asarray(idx_shell)[0]] - centers[0][:, None], axis=-1)
+    assert ((d > 1.0 - 1e-4) & (d < 3.0 + 1e-4)).all()

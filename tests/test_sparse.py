@@ -288,3 +288,30 @@ class TestGroupedRulebooks:
         out_s = sparse.apply_rulebook_matmul_grouped(st.features, starts_s, pos_s, found_s, w)
         assert np.asarray(found_s).sum() == np.asarray(found_d).sum()
         np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s), rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_cache_not_shared_across_different_coord_sets():
+    """Two same-shape tensors with DIFFERENT active sites sharing one
+    rulebook cache must each resolve against their own table (the dense
+    lookup table is keyed by coordinate-set identity, not just shape)."""
+    import jax.numpy as jnp
+    from btcdet_tpu.ops import sparse
+
+    shape = (4, 8, 8)
+    ca = np.array([[0, 1, 2, 3], [0, 2, 4, 5], [-1, -1, -1, -1]], np.int32)
+    cb = np.array([[0, 3, 6, 7], [0, 1, 1, 1], [-1, -1, -1, -1]], np.int32)
+    fa = np.arange(3, dtype=np.float32)[:, None]
+    sta = sparse.from_coords(jnp.asarray(fa), jnp.asarray(ca), shape, 1)
+    stb = sparse.from_coords(jnp.asarray(fa), jnp.asarray(cb), shape, 1)
+
+    cache = {}
+    qa = sparse.linear_key(jnp.asarray(ca), shape, 1)
+    qb = sparse.linear_key(jnp.asarray(cb), shape, 1)
+    idx_a, found_a = sparse.lookup_in(sta, qa, cache)
+    idx_b, found_b = sparse.lookup_in(stb, qb, cache)  # same cache dict
+    # every valid query of each tensor must be found in ITS OWN table
+    assert np.asarray(found_a)[:2].all() and not np.asarray(found_a)[2]
+    assert np.asarray(found_b)[:2].all() and not np.asarray(found_b)[2]
+    # and b's sites must NOT be found via a's table: query b's keys in a
+    idx_ba, found_ba = sparse.lookup_in(sta, qb, cache)
+    assert not np.asarray(found_ba)[:2].any()
