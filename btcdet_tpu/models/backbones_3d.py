@@ -210,22 +210,29 @@ class VoxelBackBone8xOcc(nn.Module):
 
     def _occ_down(self, level: int):
         """occ-code downsampler for trunk level `level` (reference
-        `build_occ_{maxpool,fix,weight,avgpool}_net`)."""
+        `build_occ_{maxpool,fix,weight,avgpool}_net:793-866`). All four
+        reference builders pass `norm_fn=None` -- bare conv/pool, no BN,
+        no activation -- so the occ code stays an un-normalized
+        probability signal."""
         t = self.occ_conv_type[level] if level < len(self.occ_conv_type) else "maxpool"
         key = f"spconv{level + 1}"
         pad = 1 if level < 3 else (1, 1, 1)
+        kw = dict(indice_key=key, use_norm=False, name=f"occ_conv{level+1}",
+                  axis_name=self.axis_name)
         if t == "maxpool":
-            return self._block(self.occ_code_num, 3, s=2, p=pad, t="maxpool", key=key, name=f"occ_conv{level+1}")
+            return SparseConvBlock(out_channels=self.occ_code_num, kernel_size=3,
+                                   stride=2, padding=pad, conv_type="maxpool", **kw)
         if t == "fix":
-            return self._block(self.occ_code_num, 3, s=2, p=pad, t="fixspconv", key=key, name=f"occ_conv{level+1}")
+            return SparseConvBlock(out_channels=self.occ_code_num, kernel_size=3,
+                                   stride=2, padding=pad, conv_type="fixspconv",
+                                   default_value=1.0 / 27, **kw)
         if t == "avgpool":
-            return self._block(self.occ_code_num, 2, s=2, p=pad, t="fixspconv", key=key, name=f"occ_conv{level+1}")
+            return SparseConvBlock(out_channels=self.occ_code_num, kernel_size=2,
+                                   stride=2, padding=pad, conv_type="fixspconv",
+                                   default_value=1.0, **kw)
         if t == "weight":
-            return SparseConvBlock(
-                out_channels=self.occ_code_num, kernel_size=3, stride=2, padding=pad,
-                conv_type="spconv", indice_key=key, use_norm=False,
-                name=f"occ_conv{level+1}", axis_name=self.axis_name,
-            )
+            return SparseConvBlock(out_channels=self.occ_code_num, kernel_size=3,
+                                   stride=2, padding=pad, conv_type="spconv", **kw)
         raise NotImplementedError(t)
 
     def _res_combine(self, x_conv2, x_conv3, x_conv4, bev_out, cache, train):
@@ -260,7 +267,7 @@ class VoxelBackBone8xOcc(nn.Module):
             return x
         if comb == "combine":
             x = self._block(ch[3] * 2, 3, p=1, key="subm4", name="down_combine_0")(x, cache, train)
-            x = self._block(ch[3] * 2, 3, s=(1, 2, 2), p=1, t="spconv", key="spconv5", name="down_combine_1", cap=self._cap(4, train, st.batch_size))(x, cache, train)
+            x = self._block(ch[3] * 2, 3, s=(1, 2, 2), p=1, t="spconv", key="spconv5", name="down_combine_1", cap=self._cap(4, train, x.batch_size))(x, cache, train)
             x = self._block(ch[3] * 2, 3, p=1, key="subm5", name="down_combine_2")(x, cache, train)
             return x
         raise NotImplementedError(comb)

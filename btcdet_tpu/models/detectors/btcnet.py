@@ -109,6 +109,7 @@ class BtcNet(nn.Module):
             occ_conv_exec=tuple(bb.get("OCC_CONV_EXECUTE", [])),
             out_feat_type=tuple(bb.get("OUT_FEAT_TYPE", ["None"] * 4 + ["big_bev_combine"])),
             out_att=tuple(bb.get("OCC_ATT", [False] * 4)),
+            channels=tuple(bb.get("CHANNELS", (16, 32, 64, 64, 128))),
             level_caps=self._level_caps(bb, "train"),
             level_caps_eval=self._level_caps(bb, "test"),
             axis_name=self.axis_name,
@@ -213,7 +214,11 @@ class BtcNet(nn.Module):
         """
         out = {}
         batch_size = int(batch["points"].shape[0])
-        nz, ny, nx = int(self.det_grid_size[2]), int(self.det_grid_size[1]), int(self.det_grid_size[0])
+        # det sparse grid pads z by +1 (reference `spconv_backbone.py:635`
+        # `sparse_shape = grid_size[::-1] + [1, 0, 0]`): KITTI's 40-voxel z
+        # becomes 41 so the stride chain lands at 41->21->11->5->2 and the
+        # BEV map keeps nz=2 (256 features), not nz=1
+        nz, ny, nx = int(self.det_grid_size[2]) + 1, int(self.det_grid_size[1]), int(self.det_grid_size[0])
 
         if self.clamp_max is not None and (
             self.clamp_max == "tanh" or float(self.clamp_max) > 0.0

@@ -192,7 +192,9 @@ class OccSubnet(nn.Module):
             "VoxelBackBoneInverseRes": backbones_3d.VoxelBackBoneInverseRes,
         }[bb_name]
         self.backbone = bb_cls(
-            input_channels=4, axis_name=self.axis_name, name="backbone_3d"
+            input_channels=4, axis_name=self.axis_name, name="backbone_3d",
+            channels=tuple(self.model_cfg.get("BACKBONE_3D", {}).get(
+                "CHANNELS", (16, 32, 64))),
         )
         cls_ch = 2 if self.is_softmax else 1
         # focal-style prior init (RetinaNet, pi=0.01): the occupied logit
