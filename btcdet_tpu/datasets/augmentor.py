@@ -27,8 +27,22 @@ import numpy as np
 
 from ..ops import iou3d
 from ..utils import box_utils, common
+from ..utils import coords as common_coords
 
-SPECIAL_NAMES = ["bm_points"]
+# point sets carried through flip/rotation/scaling alongside the raw
+# cloud (reference `data_augmentor.py:8`): the bm supervision points plus
+# the 9 occ-vis debug sets emitted by the ABLATION.VIS branch of
+# MltBestMatchQuerier.filter_bm
+SPECIAL_NAMES = [
+    "bm_points", "miss_points", "self_points", "other_points",
+    "miss_occ_points", "self_occ_points", "other_occ_points",
+    "self_limit_occ_mask", "miss_full_occ_points", "other_full_occ_points",
+]
+
+# spherical support grid resolution used by the ablation filtering
+# (reference `multi_best_match_querier.py:31`): (range m, azimuth deg,
+# elevation deg)
+_BM_SPHERE_RES = np.array([[0.32, 0.5184, 0.4203125]])
 
 
 def random_flip_along_x(gt_boxes, points, special_points_lst, enable=None, rng=None):
@@ -161,6 +175,11 @@ class DataBaseSampler:
         gt_boxes_mask = data_dict["gt_boxes_mask"]
         gt_boxes = data_dict["gt_boxes"][gt_boxes_mask]
         gt_names = data_dict["gt_names"][gt_boxes_mask]
+        # original (post-DontCare, pre-class-filter) gt label indices must
+        # track the surviving boxes: the bm pkl files are keyed by that
+        # index space (reference `database_sampler.py:114`)
+        if "gt_boxes_inds" in data_dict:
+            data_dict["gt_boxes_inds"] = data_dict["gt_boxes_inds"][gt_boxes_mask]
         points = data_dict["points"]
         if self.sampler_cfg.get("USE_ROAD_PLANE", False) and "road_plane" in data_dict:
             sampled_gt_boxes, mv_height = self.put_boxes_on_road_planes(
@@ -244,7 +263,9 @@ class DataBaseSampler:
 class MltBestMatchQuerier:
     """add_multi_best_match (reference `multi_best_match_querier.py`):
     loads the per-object `bm_*.pkl` approximate complete shapes and
-    rotates/translates them into the scene for real and pasted boxes."""
+    rotates/translates them into the scene for real and pasted boxes.
+    Optional ABLATION filtering removes self-occluded / non-occluded
+    ("miss") bm points via spherical cumsum occupancy (`filter_bm:101`)."""
 
     def __init__(self, root_path, querier_cfg, class_names, logger=None):
         self.root_path = Path(root_path)
@@ -255,6 +276,13 @@ class MltBestMatchQuerier:
             "Cyclist": querier_cfg.get("CYC_MLT_BM_ROOT", None),
             "Pedestrian": querier_cfg.get("PED_MLT_BM_ROOT", None),
         }
+        self.add_bm_2_raw = bool(querier_cfg.get("ADD_BM_2_RAW", False))
+        abl = querier_cfg.get("ABLATION", None)
+        self.ablation = abl is not None
+        self.rmv_self_occ = bool(abl.get("RMV_SELF_OCC", False)) if abl else False
+        self.rmv_miss = bool(abl.get("RMV_MISS", False)) if abl else False
+        self.abl_num_feat = int(abl.get("NUM_POINT_FEATURES", 4)) if abl else 4
+        self.abl_vis = bool(abl.get("VIS", False)) if abl else False
 
     def _load_bm(self, cls_name, image_idx, gt_idx):
         root = self.bm_roots.get(cls_name)
@@ -276,12 +304,19 @@ class MltBestMatchQuerier:
         n_aug = len(data_dict.get("aug_boxes_image_idx", []))
         n_real = len(gt_boxes) - n_aug
         frame_id = data_dict.get("frame_id")
-        bm_list = []
+        bm_list, bm_boxes = [], []
         for i, (box, name) in enumerate(zip(gt_boxes, gt_names)):
             if name not in self.class_names:
                 continue
             if i < n_real:
-                image_idx, gt_idx = frame_id, data_dict.get("gt_idx_map", {}).get(i, i)
+                # real box: original label-file index (post-DontCare, before
+                # class filtering) threaded through `gt_boxes_inds`
+                # (reference `multi_best_match_querier.py:55-63`). A bare
+                # enumerate index would be wrong whenever non-class objects
+                # (Vans/Trucks) precede this box in the label file.
+                inds = data_dict.get("gt_boxes_inds")
+                image_idx = frame_id
+                gt_idx = int(inds[i]) if inds is not None else i
             else:
                 j = i - n_real
                 image_idx = data_dict["aug_boxes_image_idx"][j]
@@ -298,11 +333,199 @@ class MltBestMatchQuerier:
                 pts[:, 2] + box[2],
             ], axis=1)
             bm_list.append(world)
+            bm_boxes.append(np.asarray(box[:7], np.float32))
+        if self.ablation and bm_list:
+            bm_list = self.filter_bm(data_dict, np.stack(bm_boxes), bm_list)
         data_dict["bm_points"] = (
             np.concatenate(bm_list, axis=0).astype(np.float32)
             if bm_list else np.zeros((0, 3), np.float32)
         )
         return data_dict
+
+    # -------------------------------------------------- ABLATION filtering
+    # (reference `multi_best_match_querier.py:101-243`): on a spherical
+    # support grid over the whole frame, drop bm points that (a) fall in a
+    # voxel already occupied by the object's real points, (b) RMV_SELF_OCC:
+    # sit behind the bm shape's own first surface along the ray (cumsum
+    # over the range axis >= 1.5), (c) RMV_MISS: are NOT occluded by
+    # anything in the scene (cumsum occupancy mask == 0) -- i.e. a
+    # visible-but-unscanned region the sensor should have seen. Boxes are
+    # processed nearest-first and their kept bm voxels become occluders
+    # for farther boxes.
+
+    def _sphere_grid(self, pts3):
+        sp = np.asarray(common_coords.absxyz_to_sphere(pts3[:, :3]))
+        cmin = sp.min(axis=0, keepdims=True) - 10.0 * _BM_SPHERE_RES
+        coords = np.floor_divide(sp - cmin, _BM_SPHERE_RES).astype(np.int32)
+        dims = coords.max(axis=0) + 11
+        return cmin, tuple(int(d) for d in dims)
+
+    def _sphere_coords(self, pts, cmin, dims):
+        """Returns (kept pts, sphere pts, coords) clipped to the grid."""
+        if len(pts) == 0:
+            z = np.zeros((0, 3), np.float32)
+            return pts, z, np.zeros((0, 3), np.int32)
+        sp = np.asarray(common_coords.absxyz_to_sphere(pts[:, :3]))
+        coords = np.floor_divide(sp - cmin, _BM_SPHERE_RES).astype(np.int32)
+        keep = np.all(coords >= 0, axis=1) & np.all(
+            coords < np.asarray(dims)[None], axis=1)
+        return pts[keep], sp[keep], coords[keep]
+
+    @staticmethod
+    def _mask_of(coords, dims, back_expand: int = 0):
+        """Occupancy mask; back_expand also marks the `back_expand` voxels
+        in FRONT (smaller range) of each site (reference `exclude_map`)."""
+        m = np.zeros(dims, np.uint8)
+        if len(coords) == 0:
+            return m
+        reps = [coords]
+        for d in range(1, back_expand + 1):
+            c = coords.copy()
+            c[:, 0] = np.maximum(c[:, 0] - d, 0)
+            reps.append(c)
+        c = np.concatenate(reps, axis=0)
+        m[c[:, 0], c[:, 1], c[:, 2]] = 1
+        return m
+
+    @staticmethod
+    def _nearest_per_voxel(pts, sp, coords):
+        """Keep the nearest-range point per occupied voxel (reference
+        `get_nearest_points`)."""
+        if len(pts) == 0:
+            return pts, coords
+        order = np.argsort(sp[:, 0], kind="stable")
+        pts, coords = pts[order], coords[order]
+        _, first = np.unique(coords, axis=0, return_index=True)
+        return pts[first], coords[first]
+
+    def _box_point_labels(self, points, boxes):
+        """Per-point gt label (1..M, 0 = background) with slack 1.0 and a
+        +0.15 m z floor shift (reference `points_in_box_3d_label`,
+        `point_box_utils.py:10`); ties keep the highest label like the
+        reference's max-reduction."""
+        if len(boxes) == 0:
+            return np.zeros(len(points), np.int32)
+        label = np.zeros(len(points), np.int32)
+        for i, b in enumerate(boxes):
+            c, s = np.cos(-b[6]), np.sin(-b[6])
+            rel = points[:, :3] - b[None, :3]
+            local = np.stack([
+                rel[:, 0] * c - rel[:, 1] * s,
+                rel[:, 0] * s + rel[:, 1] * c,
+                rel[:, 2],
+            ], axis=1)
+            half = b[3:6] * 0.5
+            lo = -half + np.array([0.0, 0.0, 0.15])
+            inb = np.all(local >= lo[None], axis=1) & np.all(
+                local <= half[None], axis=1)
+            label[inb] = i + 1
+        return label
+
+    def filter_bm(self, data_dict, boxes, bm_list):
+        points = np.asarray(data_dict["points"], np.float32)
+        order = np.argsort(np.linalg.norm(boxes[:, :2], axis=1))
+        boxes_sorted = boxes[order]
+        bm_sorted = [bm_list[i] for i in order]
+        labels = self._box_point_labels(points, boxes_sorted)
+
+        cmin, dims = self._sphere_grid(points)
+        _, _, raw_coords = self._sphere_coords(points, cmin, dims)
+        vox_mask = self._mask_of(raw_coords, dims)
+        occ_mask = (np.cumsum(vox_mask, axis=0) > 0.5).astype(np.uint8)
+
+        out = [None] * len(bm_list)
+        vis = {k: [] for k in ("miss", "self", "other")}
+        vis_masks = {k: np.zeros(dims, np.uint8) for k in ("miss", "other", "bm")}
+        for j, (box, bm) in enumerate(zip(boxes_sorted, bm_sorted)):
+            obj_pts = points[labels == (j + 1)]
+            _, _, obj_coords = self._sphere_coords(obj_pts, cmin, dims)
+            # the object's own surface blocks a couple of voxels in front
+            # (reference get_coords x_expand -> exclude_map, x_epansion=2)
+            obj_mask = self._mask_of(obj_coords, dims, back_expand=2)
+
+            bm_pts, bm_sp, bm_coords = self._sphere_coords(
+                np.asarray(bm, np.float32), cmin, dims)
+            bm_vox = self._mask_of(bm_coords, dims)
+            bm_occ = (np.cumsum(bm_vox, axis=0) < 1.5).astype(np.uint8)
+
+            at = (bm_coords[:, 0], bm_coords[:, 1], bm_coords[:, 2])
+            keep = 1 - obj_mask[at]
+            not_self_occluded = bm_occ[at]          # first bm surface only
+            scene_occluded = occ_mask[at]           # behind something real
+
+            if self.abl_vis:
+                miss = (keep * not_self_occluded * (1 - scene_occluded)).astype(bool)
+                self_m = (keep * (1 - not_self_occluded)).astype(bool)
+                other = (keep * not_self_occluded * scene_occluded).astype(bool)
+                for k, m in (("miss", miss), ("self", self_m), ("other", other)):
+                    p_k, c_k = self._nearest_per_voxel(bm_pts[m], bm_sp[m], bm_coords[m])
+                    vis[k].append(p_k[:, :3])
+                    if k != "self":
+                        vis_masks[k][c_k[:, 0], c_k[:, 1], c_k[:, 2]] = 1
+                vis_masks["bm"] = np.maximum(vis_masks["bm"], bm_vox)
+
+            if self.rmv_self_occ:
+                keep = keep * not_self_occluded
+            if self.rmv_miss:
+                keep = keep * scene_occluded
+            keep = keep.astype(bool)
+            kept_pts, kept_coords = self._nearest_per_voxel(
+                bm_pts[keep], bm_sp[keep], bm_coords[keep])
+            out[int(order[j])] = kept_pts[:, :3]  # back to original box order
+
+            # kept bm voxels occlude farther boxes
+            vox_mask[kept_coords[:, 0], kept_coords[:, 1], kept_coords[:, 2]] = 1
+            occ_mask = (np.cumsum(vox_mask, axis=0) > 0.5).astype(np.uint8)
+            if self.add_bm_2_raw and len(kept_pts):
+                pad = np.zeros((len(kept_pts), points.shape[1] - 3), points.dtype)
+                data_dict["points"] = np.concatenate(
+                    [data_dict["points"],
+                     np.concatenate([kept_pts[:, :3], pad], axis=1)], axis=0)
+
+        if self.abl_vis:
+            self._emit_vis(data_dict, vis, vis_masks, raw_coords, cmin, dims)
+        return [o if o is not None else np.zeros((0, 3), np.float32) for o in out]
+
+    def _emit_vis(self, data_dict, vis, vis_masks, raw_coords, cmin, dims):
+        """The 9 occ-vis debug point sets (reference `filter_bm:160-230`,
+        SPECIAL_NAMES entries 2-10)."""
+        def centers(mask):
+            coords = np.stack(np.nonzero(mask), axis=-1)
+            sp = cmin + (coords + 0.5) * _BM_SPHERE_RES
+            return np.asarray(common_coords.sphere_to_absxyz(
+                sp[:, 0], sp[:, 1], sp[:, 2]), np.float32)
+
+        def cat(lst):
+            return (np.concatenate(lst, axis=0).astype(np.float32)
+                    if lst else np.zeros((0, 3), np.float32))
+
+        def propagate(mask3d):
+            return np.broadcast_to(mask3d.max(axis=0, keepdims=True), mask3d.shape)
+
+        bm_tot = vis_masks["bm"]
+        self_cum = np.cumsum(bm_tot, axis=0)
+        self_rev = np.flip(np.cumsum(np.flip(bm_tot, axis=0), axis=0), axis=0)
+        self_tot_occ = (self_cum > 0.5).astype(np.uint8)
+        self_limit_occ = (self_rev > 0.5).astype(np.uint8) * self_tot_occ
+
+        occluder = self._mask_of(raw_coords, dims)
+        other_full = (np.cumsum(occluder, axis=0) > 0.5).astype(
+            np.uint8) * propagate(vis_masks["other"])
+        other_tot = other_full * (1 - self_tot_occ)
+        miss_full = propagate(vis_masks["miss"])
+        miss_tot = miss_full * (1 - self_tot_occ)
+
+        data_dict.update({
+            "miss_points": cat(vis["miss"]),
+            "self_points": cat(vis["self"]),
+            "other_points": cat(vis["other"]),
+            "miss_occ_points": centers(miss_tot),
+            "miss_full_occ_points": centers(miss_full),
+            "self_occ_points": centers(self_tot_occ),
+            "self_limit_occ_mask": centers(self_limit_occ),
+            "other_occ_points": centers(other_tot),
+            "other_full_occ_points": centers(other_full),
+        })
 
 
 class BestMatchQuerier:
@@ -399,6 +622,12 @@ class DataAugmentor:
 
     def forward(self, data_dict, rng=None):
         rng = rng or np.random
+        # original gt indices, in the post-DontCare pre-class-filter space
+        # the bm pkl files are keyed by (reference `data_augmentor.py:182`)
+        if "gt_boxes_mask" in data_dict:
+            data_dict["gt_boxes_inds"] = np.arange(len(data_dict["gt_boxes_mask"]))
+        elif "gt_boxes" in data_dict:
+            data_dict["gt_boxes_inds"] = np.arange(len(data_dict["gt_boxes"]))
         for name, handler in self.queue:
             if name in ("gt_sampling", "sup_gt_sampling",
                         "add_multi_best_match", "add_best_match"):
@@ -432,4 +661,5 @@ class DataAugmentor:
         data_dict["gt_boxes"][:, 6] = common.limit_period_np(
             data_dict["gt_boxes"][:, 6], offset=0.5, period=2 * np.pi
         )
+        data_dict.pop("gt_boxes_inds", None)
         return data_dict
