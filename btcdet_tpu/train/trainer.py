@@ -40,11 +40,22 @@ def create_train_state(net, batch, rng, det_opt_cfg, occ_opt_cfg, total_steps: i
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats, opt_state), tx
 
 
-def make_train_step(net, tx):
+def make_train_step(net, tx, frozen: tuple = ()):
+    """`frozen` names partitions ('occ'/'det') whose LR is 0: their
+    params are stop-gradient'd inside the loss so XLA dead-code
+    eliminates that subnet's entire backward pass (the reference's
+    `LR==0 -> no_grad` staged-training semantics, btcnet.py:42-48) --
+    instead of computing gradients and multiplying them by zero."""
     def train_step(state: TrainState, batch: dict, rng):
         r1, r2 = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
+            if frozen:
+                labels = optim.occ_det_partition(params)
+                params = jax.tree_util.tree_map(
+                    lambda p, l: jax.lax.stop_gradient(p) if l in frozen else p,
+                    params, labels,
+                )
             out, mut = net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True,
@@ -68,10 +79,21 @@ def make_train_step(net, tx):
     return train_step
 
 
-def make_data_parallel_train_step(net, tx, mesh: Mesh):
+def frozen_partitions(det_opt_cfg, occ_opt_cfg) -> tuple:
+    """Partitions with LR == 0 (reference staged training: `--pre_occ`
+    then OCC_OPTIMIZATION.LR: 0.0 freezes the occ subnet)."""
+    out = []
+    if det_opt_cfg is not None and float(det_opt_cfg.LR) == 0.0:
+        out.append("det")
+    if occ_opt_cfg is not None and float(occ_opt_cfg.LR) == 0.0:
+        out.append("occ")
+    return tuple(out)
+
+
+def make_data_parallel_train_step(net, tx, mesh: Mesh, frozen: tuple = ()):
     """jit the train step with batch leading-axis sharding over `dp`;
     GSPMD handles the rest (gradient psum, replicated params)."""
-    step_fn = make_train_step(net, tx)
+    step_fn = make_train_step(net, tx, frozen=frozen)
     repl = NamedSharding(mesh, P())
     shard0 = NamedSharding(mesh, P("dp"))
     cache = {}

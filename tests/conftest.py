@@ -17,3 +17,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: repeated runs of the slow e2e tests skip the
+# XLA CPU compile (the dominant cost on a 1-core CI box).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: model-scale e2e tests (minutes of XLA CPU compile each; "
+        "excluded from the smoke suite: pytest -m 'not slow')",
+    )

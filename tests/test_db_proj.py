@@ -8,6 +8,7 @@ cell it covers.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from btcdet_tpu.config import CfgBox
 from btcdet_tpu.datasets import make_synthetic_batch
@@ -16,6 +17,8 @@ from btcdet_tpu.models.occ import occ_subnet
 from btcdet_tpu.utils import coords as coord_utils
 
 from test_occ_pillar import run_subnet
+
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
 
 
 def test_db_proj_expand_geometry_cartesian():

@@ -16,6 +16,8 @@ from btcdet_tpu.train import eval_utils
 from test_kitti_pipeline import data_cfg as pipeline_data_cfg, make_raw_kitti
 from test_model_e2e import mini_model_cfg
 
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
+
 
 @pytest.fixture(scope="module")
 def kitti_root(tmp_path_factory):

@@ -11,6 +11,8 @@ from btcdet_tpu.models import build_network
 from btcdet_tpu.models.detectors.btcnet import post_processing
 from btcdet_tpu.datasets.mini_config import mini_data_cfg, mini_model_cfg
 
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
+
 
 def to_jnp(batch):
     return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -4,6 +4,7 @@ spatially partitioned over `sp` with GSPMD halo exchange)."""
 
 import jax
 import numpy as np
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from btcdet_tpu.datasets import make_synthetic_batch
@@ -12,6 +13,8 @@ from btcdet_tpu.datasets.mini_config import (
 )
 from btcdet_tpu.models import build_network
 from btcdet_tpu.train import trainer
+
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
 
 
 def test_dp_sp_train_step():

@@ -2,9 +2,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from btcdet_tpu.models.dense_heads import anchor_head as AH
 from btcdet_tpu.utils import box_coder as bc
+
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
 
 
 def cfgs():

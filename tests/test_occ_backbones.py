@@ -12,6 +12,8 @@ import pytest
 
 from btcdet_tpu.models import backbones_3d as B
 
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
+
 
 # odd spatial dims: the stride-2 down/up round trip is exact for odd
 # sizes (like the flagship 9 x 157 x 209 grid); even dims lose their

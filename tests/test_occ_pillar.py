@@ -17,6 +17,8 @@ from btcdet_tpu.datasets import make_synthetic_batch
 from btcdet_tpu.datasets.mini_config import mini_data_cfg, mini_model_cfg
 from btcdet_tpu.models.occ import occ_subnet, occ_targets as T
 
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
+
 
 def make_subnet(model_cfg, data_cfg):
     det_vox = None

@@ -4,11 +4,14 @@ masks -> voxel-center clouds + BEV raster images, matching the
 reference's cloud-dict key names so visualize_pc.py works unchanged."""
 
 import numpy as np
+import pytest
 
 from btcdet_tpu.config import CfgBox
 from btcdet_tpu.datasets.mini_config import mini_data_cfg
 from btcdet_tpu.models.occ import occ_targets as T
 from btcdet_tpu.utils import vis_utils
+
+pytestmark = pytest.mark.slow  # model-scale XLA compiles; smoke suite skips
 
 
 def make_inputs():

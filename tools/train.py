@@ -157,7 +157,12 @@ def main():
         start_epoch = step // steps_per_epoch
         logger.info(f"auto-resumed from step {step} (epoch {start_epoch})")
 
-    step_fn = jax.jit(trainer_mod.make_train_step(net, tx))
+    frozen = trainer_mod.frozen_partitions(
+        cfg.OPTIMIZATION, cfg.get("OCC_OPTIMIZATION", None)
+    )
+    if frozen:
+        logger.info(f"frozen partitions (LR==0, backward skipped): {frozen}")
+    step_fn = jax.jit(trainer_mod.make_train_step(net, tx, frozen=frozen))
     rng = jax.random.PRNGKey(args.seed + 1)
 
     # jax.profiler trace window (SURVEY.md §5.1: the reference has no
