@@ -290,7 +290,11 @@ def query_and_group(
 
 class GroupMLP(nn.Module):
     """Shared 1x1-conv MLP + BN + ReLU over grouped points, masked so
-    padded queries don't pollute BN statistics."""
+    padded queries don't pollute BN statistics.
+
+    `channels` follows the reference mlp_spec convention
+    (`pointnet2_modules.py:32-41`): channels[0] is the INPUT dim (no
+    layer is built for it); one Conv/BN/ReLU per consecutive pair."""
 
     channels: Sequence[int]
     momentum: float = 0.1
@@ -302,9 +306,11 @@ class GroupMLP(nn.Module):
     def __call__(self, x, mask, train: bool):
         # x: (B, M, nsample, C); mask: (B, M) valid-query mask
         B, M, S, _ = x.shape
+        assert x.shape[-1] == self.channels[0], (
+            f"GroupMLP input dim {x.shape[-1]} != mlp_spec[0] {self.channels[0]}")
         m = jnp.broadcast_to(mask[:, :, None], (B, M, S)).reshape(-1)
         h = x.reshape(B * M * S, -1)
-        for c in self.channels:
+        for c in self.channels[1:]:
             h = nn.Dense(c, use_bias=False, dtype=self.dtype)(h)
             from . import sparse as _sparse  # local import to avoid cycle
             h = _sparse.MaskedBatchNorm(
