@@ -60,7 +60,7 @@ def build_dataloader(
 ):
     """Returns (dataset, dataloader, sampler); mirrors the reference
     signature. `dist=True` shards across JAX processes."""
-    import torch.utils.data as tud
+    from .loader import make_loader
 
     cls = _registry()[dataset_cfg.DATASET]
     dataset = cls(
@@ -75,10 +75,9 @@ def build_dataloader(
             len(dataset), jax.process_count(), jax.process_index(),
             shuffle=training, seed=seed,
         )
-    dataloader = tud.DataLoader(
-        dataset, batch_size=batch_size, pin_memory=False,
-        num_workers=workers, shuffle=(sampler is None and training),
-        collate_fn=dataset.collate_batch, drop_last=training,
-        sampler=sampler,
+    dataloader = make_loader(
+        dataset, batch_size, shuffle=(sampler is None and training),
+        num_workers=workers, collate_fn=dataset.collate_batch,
+        drop_last=training, sampler=sampler, seed=seed,
     )
     return dataset, dataloader, sampler

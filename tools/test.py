@@ -38,8 +38,13 @@ def parse_config():
     parser.add_argument("--vis_stride", type=int, default=0,
                         help="dump every Nth batch as a cloud .npy for "
                              "tools/visual_utils/visualize_pc.py (0=off)")
+    parser.add_argument("--launcher", choices=["none", "pod", "slurm"],
+                        default="none",
+                        help="multi-host init via jax.distributed.initialize()")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
+    if args.launcher != "none":
+        jax.distributed.initialize()
     cfg_from_yaml_file(args.cfg_file, cfg)
     cfg.TAG = Path(args.cfg_file).stem
     if args.set_cfgs is not None:
@@ -49,14 +54,14 @@ def parse_config():
 
 def build_eval(args, cfg, logger):
     from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
-    import torch.utils.data as tud
+    from btcdet_tpu.datasets.loader import make_loader
 
     dataset = KittiDataset(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
         root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
     )
-    dl = tud.DataLoader(
-        dataset, batch_size=args.batch_size, shuffle=False,
+    dl = make_loader(
+        dataset, args.batch_size, shuffle=False,
         num_workers=args.workers, collate_fn=dataset.collate_batch,
     )
     net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
@@ -81,6 +86,52 @@ def eval_ckpt(net, dl, dataset, state, args, result_dir, logger, infer_fn=None):
     )
 
 
+class BestMapTracker:
+    """Per-class / per-difficulty / per-metric best-mAP incumbents with
+    step provenance (reference `update_3d_map`/`update_bev_map`,
+    `tools/test.py:141-218` -- extended to all metric families and with
+    the winning checkpoint recorded)."""
+
+    FAMILIES = ("3d", "bev", "image", "aos")
+    DIFFS = ("easy", "moderate", "hard")
+
+    def __init__(self, class_names):
+        self.class_names = list(class_names)
+        self.best = {}  # key -> (value, step)
+
+    def update(self, result_dict, step):
+        improved = []
+        for cls in self.class_names:
+            for fam in self.FAMILIES:
+                for diff in self.DIFFS:
+                    for key in (f"{cls}_{fam}/{diff}_R40",
+                                f"{cls}_{fam}/11R_{diff}"):
+                        v = result_dict.get(key)
+                        if v is None:
+                            continue
+                        cur = self.best.get(key, (-1.0, None))[0]
+                        if v > cur:
+                            self.best[key] = (float(v), step)
+                            improved.append(key)
+        return improved
+
+    def summary(self):
+        lines = []
+        for fam in self.FAMILIES:
+            for cls in self.class_names:
+                row = []
+                for metric in ("R40", "11R"):
+                    for diff in self.DIFFS:
+                        key = (f"{cls}_{fam}/{diff}_R40" if metric == "R40"
+                               else f"{cls}_{fam}/11R_{diff}")
+                        if key in self.best:
+                            v, s = self.best[key]
+                            row.append(f"{metric}_{diff}={v:.2f}@{s}")
+                if row:
+                    lines.append(f"best {cls}_{fam}: " + "  ".join(row))
+        return "\n".join(lines)
+
+
 def main():
     args, _ = parse_config()
     output_dir = Path("output") / cfg.TAG / args.extra_tag / "eval"
@@ -100,7 +151,7 @@ def main():
 
     mgr = ckpt_mod.CheckpointManager(ckpt_dir)
     evaluated = set()
-    best = {}
+    best = BestMapTracker(cfg.CLASS_NAMES)
     # one jitted eval fn across the --eval_all polling loop (per-ckpt
     # closures would recompile the full model every 30 s poll hit)
     infer_fn = eval_utils.make_infer(
@@ -128,17 +179,18 @@ def main():
                 net, dl, dataset, restored, args, step_dir, logger,
                 infer_fn=infer_fn,
             )
-            for k, v in result_dict.items():
-                if k.endswith("_R40") and v > best.get(k, -1):
-                    best[k] = v
-                    logger.info(f"new best {k}: {v:.4f} (step {s})")
+            for k in best.update(result_dict, s):
+                v, _ = best.best[k]
+                logger.info(f"new best {k}: {v:.4f} (step {s})")
             evaluated.add(s)
             with open(output_dir / "eval_list_val.txt", "a") as f:
                 f.write(f"{s}\n")  # reference test.py:86-88 eval record
             wait_start = time.time()
         if not args.eval_all:
             break
-    logger.info(f"best results: {best}")
+    summary = best.summary()
+    if summary:
+        logger.info("best results (value@step):\n" + summary)
 
 
 if __name__ == "__main__":

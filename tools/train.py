@@ -59,7 +59,15 @@ def parse_config():
                              "checkpoints on the val split (reference "
                              "train.py:202-222; 0=off, auto-off for "
                              "--synthetic)")
+    parser.add_argument("--launcher", choices=["none", "pod", "slurm"],
+                        default="none",
+                        help="multi-host init: 'slurm'/'pod' call "
+                             "jax.distributed.initialize() (auto-detects "
+                             "SLURM_* env / Cloud TPU metadata) -- the "
+                             "reference's init_dist_{pytorch,slurm} role")
     args = parser.parse_args()
+    if args.launcher != "none":
+        jax.distributed.initialize()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
     cfg.TAG = Path(args.cfg_file).stem
@@ -91,10 +99,10 @@ def make_dataloader(args, cfg, logger):
         root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
     )
     bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
-    import torch.utils.data as tud
+    from btcdet_tpu.datasets.loader import make_loader
 
-    dl = tud.DataLoader(
-        dataset, batch_size=bs, shuffle=True, num_workers=args.workers,
+    dl = make_loader(
+        dataset, bs, shuffle=True, num_workers=args.workers,
         collate_fn=dataset.collate_batch, drop_last=True,
     )
     steps = args.steps or len(dl)
@@ -257,8 +265,8 @@ def main():
     # after training via repeat_eval_ckpt)
     if args.num_epochs_to_eval > 0 and not args.synthetic:
         from btcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+        from btcdet_tpu.datasets.loader import make_loader
         from btcdet_tpu.train import eval_utils
-        import torch.utils.data as tud
 
         eval_dir = output_dir / "eval" / "eval_with_train"
         eval_dir.mkdir(parents=True, exist_ok=True)
@@ -267,8 +275,8 @@ def main():
             root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
         )
         bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
-        vdl = tud.DataLoader(
-            val_ds, batch_size=bs, shuffle=False, num_workers=args.workers,
+        vdl = make_loader(
+            val_ds, bs, shuffle=False, num_workers=args.workers,
             collate_fn=val_ds.collate_batch,
         )
         steps = sorted(mgr.mgr.all_steps())[-args.num_epochs_to_eval:]
