@@ -304,9 +304,15 @@ class MltBestMatchQuerier:
         n_aug = len(data_dict.get("aug_boxes_image_idx", []))
         n_real = len(gt_boxes) - n_aug
         frame_id = data_dict.get("frame_id")
+        # SupGTSampling already loaded the pasted boxes' shapes and set
+        # pre_aug_bm (reference `__call__:284-285`): only real boxes here
+        pre_aug = data_dict.pop("pre_aug_bm", False)
+        pre_list = list(data_dict.get("bm_points", [])) if pre_aug else []
         bm_list, bm_boxes = [], []
         for i, (box, name) in enumerate(zip(gt_boxes, gt_names)):
             if name not in self.class_names:
+                continue
+            if pre_aug and i >= n_real:
                 continue
             if i < n_real:
                 # real box: original label-file index (post-DontCare, before
@@ -334,6 +340,12 @@ class MltBestMatchQuerier:
             ], axis=1)
             bm_list.append(world)
             bm_boxes.append(np.asarray(box[:7], np.float32))
+        if pre_list:
+            # align with gt order [real..., sampled...]
+            bm_list = bm_list + pre_list
+            bm_boxes = bm_boxes + [
+                np.asarray(b[:7], np.float32) for b in gt_boxes[n_real:]
+            ][: len(pre_list)]
         if self.ablation and bm_list:
             bm_list = self.filter_bm(data_dict, np.stack(bm_boxes), bm_list)
         data_dict["bm_points"] = (
@@ -566,32 +578,310 @@ class BestMatchQuerier:
 
 
 class SupGTSampling(DataBaseSampler):
-    """sup_gt_sampling -- extended gt sampler with jittered placement and
-    a per-object drop rate (reference `sup_gt_sampling.py`; unused by the
-    shipped config). Reuses the collision-rejection machinery of the base
-    sampler and adds placement jitter before pasting."""
+    """sup_gt_sampling (reference `sup_gt_sampling.py`, full parity):
+    pastes db objects either with their REAL points (GT_SMP group) or as
+    bm-shape-only supervision boxes (MLT_BM group), each with cylinder-
+    space placement jitter (range / azimuth / yaw, optional yaw_type
+    'main' = copy a scene box's yaw); iterative BEV-IoU collision
+    pruning; optional NO_STUCKING rejection of boxes containing scene
+    points; per-group `remove_occ` spherical first-surface filtering +
+    per-voxel dedup + drop rate; emits `bm_points` as a per-box list and
+    sets `pre_aug_bm` so the bm querier skips the pasted boxes."""
+
+    _SPHERE_RES = np.array([[0.2, 0.0875 * 2, 0.4203125]])
 
     def __init__(self, root_path, sampler_cfg, class_names, logger=None):
         super().__init__(root_path, sampler_cfg, class_names, logger)
-        self.jitter_xy = float(sampler_cfg.get("JITTER_XY", 0.0))
-        self.jitter_rot = float(sampler_cfg.get("JITTER_ROT", 0.0))
-        self.drop_rate = float(sampler_cfg.get("DROP_RATE", 0.0))
+        self.no_stucking = bool(sampler_cfg.get("NO_STUCKING", False))
+        self.det_height_shift = float(sampler_cfg.get("DETECT_HEIGHT_SHIFT", 0.0))
+        self.mlt_bm_root = Path(root_path) / sampler_cfg.get("MLT_BM_ROOT", "")
+        self.bm_num_point_features = int(sampler_cfg.get("BM_NUM_POINT_FEATURES", 3))
+        self.num_point_features = int(sampler_cfg.get("NUM_POINT_FEATURES", 4))
+        self.gt_smp_cfg = self._group_cfg(sampler_cfg.get("GT_SMP", None))
+        self.mlt_bm_cfg = self._group_cfg(sampler_cfg.get("MLT_BM", None))
 
-    def sample_with_fixed_number(self, class_name, sample_group, rng):
-        sampled = super().sample_with_fixed_number(class_name, sample_group, rng)
-        if self.drop_rate > 0:
-            sampled = [s for s in sampled if rng.rand() > self.drop_rate]
-        out = []
-        for info in sampled:
-            info = dict(info)
-            box = np.array(info["box3d_lidar"], np.float32).copy()
-            if self.jitter_xy > 0:
-                box[:2] += rng.uniform(-self.jitter_xy, self.jitter_xy, 2)
-            if self.jitter_rot > 0:
-                box[6] += rng.uniform(-self.jitter_rot, self.jitter_rot)
-            info["box3d_lidar"] = box
-            out.append(info)
-        return out
+    def _group_cfg(self, blk):
+        if blk is None:
+            return None
+        groups = {}
+        for x in blk.get("SAMPLE_GROUPS", []):
+            cls, num = x.split(":")
+            if cls in self.class_names:
+                groups[cls] = int(num)
+        return {
+            "sample_groups": groups,
+            "box_range_jitter": blk.get("BOX_RANGE_JITTER", 0.0),
+            "box_rot_jitter": blk.get("BOX_ROT_JITTER", 0.0),
+            "box_yaw_jitter": blk.get("BOX_YAW_JITTER", 0.0),
+            "yaw_type": blk.get("YAW_TYPE", None),
+            "remove_yz_expansion": int(blk.get("RMV_YZ_EXPSN", 0)),
+            "dp_rate": float(blk.get("DROP_RATE", 0)),
+        }
+
+    def add_box_jitter(self, boxes, existed_boxes, cfg, rng):
+        """Cylinder-space placement jitter (reference `add_box_jitter`):
+        range and azimuth jittered within the KITTI working envelope,
+        yaw either around the (azimuth-corrected) source yaw or copied
+        from a random scene box (yaw_type 'main'). Returns (N, 8) with
+        the ORIGINAL yaw appended as col 7."""
+        boxes = np.array(boxes, np.float32)
+        centers = np.asarray(common_coords.absxyz_to_cylinder(boxes[:, :3]))
+        r_lim = [min(5.3, centers[:, 0].min()), max(67.0, centers[:, 0].max())]
+        a_lim = [min(-40.6944, centers[:, 1].min()), max(40.6944, centers[:, 1].max())]
+        jit = rng.uniform(0.0, 1.0, (3, len(boxes)))
+        r_lo = np.clip(centers[:, 0] - cfg["box_range_jitter"], *r_lim)
+        r_hi = np.clip(centers[:, 0] + cfg["box_range_jitter"], *r_lim)
+        new_r = r_lo + jit[0] * (r_hi - r_lo)
+        a_lo = np.clip(centers[:, 1] - cfg["box_rot_jitter"], *a_lim)
+        a_hi = np.clip(centers[:, 1] + cfg["box_rot_jitter"], *a_lim)
+        new_a = a_lo + jit[1] * (a_hi - a_lo)
+        if cfg["yaw_type"] == "main" and len(existed_boxes):
+            base_yaw = existed_boxes[
+                rng.randint(0, len(existed_boxes), len(boxes)), 6]
+        else:
+            # keep the object's appearance-consistent yaw under azimuth shift
+            base_yaw = boxes[:, 6] - np.deg2rad(new_a - centers[:, 1])
+        new_yaw = base_yaw + (2 * jit[2] - 1) * cfg["box_yaw_jitter"]
+        ori_yaw = boxes[:, 6:7].copy()
+        boxes[:, :3] = np.asarray(common_coords.occ_uvd_to_absxyz(
+            new_r, new_a, centers[:, 2], "cylinder"))
+        boxes = np.concatenate([boxes, ori_yaw], axis=-1)
+        boxes[:, 6] = new_yaw
+        return boxes
+
+    def remove_collide_boxes(self, sampled_boxes, existed_boxes):
+        """Iteratively prune the worst mutual overlapper (reference
+        `remove_collide_boxes`) after rejecting scene collisions."""
+        if len(existed_boxes):
+            iou1 = iou3d.boxes_bev_iou_cpu(sampled_boxes[:, :7], existed_boxes[:, :7])
+            valid = (iou1.max(axis=1) == 0).nonzero()[0]
+        else:
+            valid = np.arange(len(sampled_boxes))
+        iou2 = iou3d.boxes_bev_iou_cpu(sampled_boxes[:, :7], sampled_boxes[:, :7])
+        iou2[range(len(sampled_boxes)), range(len(sampled_boxes))] = 0
+        iou2 = iou2[valid][:, valid]
+        while len(valid) and iou2.size and iou2.max() > 0:
+            worst = int(np.argmax(iou2.sum(axis=1)))
+            valid = np.delete(valid, worst)
+            iou2 = np.delete(np.delete(iou2, worst, 0), worst, 1)
+        return valid
+
+    def remove_occ(self, points, bm_points, boxes, yz_expansion, drop_rate, rng):
+        """First-surface filtering of pasted points on a spherical grid
+        (reference `remove_occ`): pasted points behind any occupied voxel
+        (raw scene + yz-expanded pasted footprint) are removed, then one
+        point per voxel (lowest z), optional drop rate, and boxes keep
+        >= 5 points or lose all of them. Returns (points, per-box mask)."""
+        if yz_expansion > 1:
+            sc = np.asarray(common_coords.absxyz_to_sphere(points[:, :3]))
+            bsc = np.asarray(common_coords.absxyz_to_sphere(bm_points[:, :3]))
+            cmin = np.concatenate([sc, bsc]).min(axis=0, keepdims=True)
+            occ = np.floor_divide(sc - cmin, self._SPHERE_RES).astype(np.int32)
+            bocc = np.floor_divide(bsc - cmin, self._SPHERE_RES).astype(np.int32)
+            # yz-expand the pasted coords one step forward in range and
+            # +-1 in azimuth/elevation (reference expand_voxel)
+            y_ind = np.arange(-1, yz_expansion)
+            z_ind = np.arange(-1, yz_expansion)
+            yy, zz = np.meshgrid(y_ind, z_ind)
+            shift = np.stack([np.ones_like(yy), yy, zz], -1).reshape(1, -1, 3)
+            shift[0, shift.shape[1] // 2, 0] = 0
+            exp = (bocc[:, None, :] + shift).reshape(-1, 3)
+            allc = np.concatenate([occ, np.maximum(exp, 0)], axis=0)
+            dims = allc.max(axis=0) + 1
+            mask = np.zeros(dims, np.uint8)
+            mask[allc[:, 0], allc[:, 1], allc[:, 2]] = 1
+            first = np.cumsum(mask, axis=0) < 1.5
+            keep = first[bocc[:, 0], bocc[:, 1], bocc[:, 2]]
+            bm_points, bocc = bm_points[keep], bocc[keep]
+            order = np.argsort(bm_points[:, 2], kind="stable")
+            bm_points, bocc = bm_points[order], bocc[order]
+            _, idx = np.unique(bocc, axis=0, return_index=True)
+            bm_points = bm_points[idx]
+        if drop_rate > 0 and len(bm_points):
+            m = np.ones(len(bm_points), bool)
+            m[: int(len(bm_points) * drop_rate)] = False
+            rng.shuffle(m)
+            bm_points = bm_points[m]
+        inb = np.asarray(
+            box_utils.points_in_boxes_mask(bm_points[:, :3], boxes[:, :7])
+        ) if len(bm_points) else np.zeros((0, len(boxes)), bool)
+        box_ok = inb.sum(axis=0) >= 5
+        if box_ok.any():
+            bm_points = bm_points[inb[:, box_ok].any(axis=1)]
+        else:
+            bm_points = np.zeros((0, bm_points.shape[1]), bm_points.dtype)
+        return bm_points, box_ok
+
+    def __call__(self, data_dict, rng=None):
+        rng = rng or np.random
+        gt_boxes = data_dict["gt_boxes"]
+        gt_names = data_dict["gt_names"].astype(str)
+        existed_boxes = gt_boxes
+        total_dict, total_type = [], []
+        total_img_idx, total_gt_idx, total_oriyaw = [], [], []
+        for class_name, sample_group in self.sample_groups.items():
+            if self.limit_whole_scene:
+                num_gt = np.sum(class_name == gt_names)
+                sample_group["sample_num"] = self.sample_class_num[class_name] - num_gt
+            if sample_group["sample_num"] <= 0:
+                continue
+            sampled = self.sample_with_fixed_number(class_name, sample_group, rng)
+            boxes = np.stack([x["box3d_lidar"] for x in sampled]).astype(np.float32)
+            img_idx = np.array([x["image_idx"] for x in sampled])
+            gt_idx = np.array([x["gt_idx"] for x in sampled])
+            parts, types = [], []
+            gt_num = 0
+            if self.gt_smp_cfg and self.gt_smp_cfg["sample_groups"].get(class_name, 0) > 0:
+                gt_num = min(self.gt_smp_cfg["sample_groups"][class_name], len(sampled))
+                parts.append(self.add_box_jitter(
+                    boxes[:gt_num], existed_boxes, self.gt_smp_cfg, rng))
+                types.append(np.ones(gt_num))
+            bm_num = len(sampled) - gt_num
+            if self.mlt_bm_cfg and bm_num > 0:
+                parts.append(self.add_box_jitter(
+                    boxes[len(boxes) - bm_num:], existed_boxes, self.mlt_bm_cfg, rng))
+                types.append(np.zeros(bm_num))
+            if not parts:
+                continue
+            boxes = np.concatenate(parts)
+            btypes = np.concatenate(types)
+            valid = self.remove_collide_boxes(boxes, existed_boxes)
+            boxes, btypes = boxes[valid], btypes[valid]
+            img_idx, gt_idx = img_idx[valid], gt_idx[valid]
+            sampled = [sampled[i] for i in valid]
+            if self.no_stucking and len(boxes):
+                det = boxes[:, :7].copy()
+                det[:, 2] += self.det_height_shift
+                inb = np.asarray(box_utils.points_in_boxes_mask(
+                    data_dict["points"][:, :3], det))
+                clean = (inb.sum(axis=0) == 0).nonzero()[0]
+                boxes, btypes = boxes[clean], btypes[clean]
+                img_idx, gt_idx = img_idx[clean], gt_idx[clean]
+                sampled = [sampled[i] for i in clean]
+            existed_boxes = np.concatenate([existed_boxes, boxes[:, :7]]) \
+                if len(existed_boxes) else boxes[:, :7]
+            total_dict.extend(sampled)
+            total_type.append(btypes)
+            total_img_idx.append(img_idx)
+            total_gt_idx.append(gt_idx)
+            total_oriyaw.append(boxes[:, 7:8])
+        if total_dict:
+            data_dict = self._paste(
+                data_dict,
+                existed_boxes[len(gt_boxes):, :7],
+                np.concatenate(total_oriyaw),
+                total_dict,
+                np.concatenate(total_img_idx),
+                np.concatenate(total_gt_idx),
+                np.concatenate(total_type),
+                rng,
+            )
+            data_dict["pre_aug_bm"] = True
+        data_dict.pop("gt_boxes_mask", None)
+        return data_dict
+
+    def _paste(self, data_dict, sampled_boxes, ori_yaw, infos, img_idx,
+               gt_idx, btypes, rng):
+        """reference `add_sampled_boxes_best_match_points_to_scene`."""
+        root = self.root_path
+        mask = data_dict.get("gt_boxes_mask")
+        gt_boxes = data_dict["gt_boxes"]
+        gt_names = data_dict["gt_names"]
+        if mask is not None:
+            gt_boxes, gt_names = gt_boxes[mask], gt_names[mask]
+            if "gt_boxes_inds" in data_dict:
+                data_dict["gt_boxes_inds"] = data_dict["gt_boxes_inds"][mask]
+        points = data_dict["points"]
+        if self.sampler_cfg.get("USE_ROAD_PLANE", False) and "road_plane" in data_dict:
+            sampled_boxes, _ = self.put_boxes_on_road_planes(
+                sampled_boxes.copy(), data_dict["road_plane"], data_dict["calib"])
+
+        smp_pts, smp_bm, bm_only = [], [], []
+        for i, info in enumerate(infos):
+            obj = np.fromfile(str(root / info["path"]), np.float32).reshape(
+                -1, self.num_point_features).copy()
+            with open(self.mlt_bm_root / f"{int(img_idx[i])}_{int(gt_idx[i])}.pkl",
+                      "rb") as f:
+                bm = pickle.load(f)
+            bm = np.asarray(bm, np.float32).reshape(-1, self.bm_num_point_features)[:, :3]
+            box = sampled_boxes[i]
+            c, s = np.cos(box[6]), np.sin(box[6])
+            bm_w = np.stack([bm[:, 0] * c - bm[:, 1] * s + box[0],
+                             bm[:, 0] * s + bm[:, 1] * c + box[1],
+                             bm[:, 2] + box[2]], axis=1)
+            if btypes[i] > 0:
+                # real points re-rotated by the jittered yaw delta
+                dy = box[6] - float(ori_yaw[i, 0])
+                cd, sd = np.cos(dy), np.sin(dy)
+                xy = obj[:, :2].copy()
+                obj[:, 0] = xy[:, 0] * cd - xy[:, 1] * sd + box[0]
+                obj[:, 1] = xy[:, 0] * sd + xy[:, 1] * cd + box[1]
+                obj[:, 2] += box[2]
+                smp_pts.append(obj)
+                smp_bm.append(bm_w)
+            else:
+                avg = (np.mean(obj[:, 3:], axis=0, keepdims=True)
+                       if len(obj) else np.zeros((1, obj.shape[1] - 3)))
+                bm_only.append(np.concatenate(
+                    [bm_w, np.tile(avg, (len(bm_w), 1))], axis=-1))
+
+        if not self.no_stucking and len(sampled_boxes):
+            big = box_utils.enlarge_box3d(
+                sampled_boxes[:, :7],
+                extra_width=self.sampler_cfg.get("REMOVE_EXTRA_WIDTH", [0, 0, 0]))
+            inb = np.asarray(box_utils.points_in_boxes_mask(points[:, :3], big))
+            points = points[~inb.any(axis=1)]
+
+        final_bm, keep_rows = [], []
+        smp_rows = (btypes > 0).nonzero()[0]
+        bm_rows = (btypes == 0).nonzero()[0]
+        if smp_pts:
+            pts = np.concatenate(smp_pts)
+            if self.gt_smp_cfg["remove_yz_expansion"] > 0:
+                pts, ok = self.remove_occ(
+                    points, pts, sampled_boxes[smp_rows],
+                    self.gt_smp_cfg["remove_yz_expansion"],
+                    self.gt_smp_cfg["dp_rate"], rng)
+                smp_rows = smp_rows[ok]
+                final_bm.extend([smp_bm[i] for i in range(len(smp_bm)) if ok[i]])
+            else:
+                final_bm.extend(smp_bm)
+            points = np.concatenate([points, pts])
+            keep_rows.extend(smp_rows.tolist())
+        if bm_only:
+            pts = np.concatenate(bm_only)
+            if self.mlt_bm_cfg["remove_yz_expansion"] > 0:
+                pts, ok = self.remove_occ(
+                    points, pts, sampled_boxes[bm_rows],
+                    self.mlt_bm_cfg["remove_yz_expansion"],
+                    self.mlt_bm_cfg["dp_rate"], rng)
+                bm_rows = bm_rows[ok]
+                final_bm.extend([bm_only[i][:, :3] for i in range(len(bm_only)) if ok[i]])
+            else:
+                final_bm.extend([b[:, :3] for b in bm_only])
+            # bm-only pastes add their (feature-padded) bm points to the cloud
+            pad = points.shape[1] - pts.shape[1]
+            if pad > 0:
+                pts = np.concatenate([pts, np.zeros((len(pts), pad), pts.dtype)], 1)
+            points = np.concatenate([points, pts[:, :points.shape[1]]])
+            keep_rows.extend(bm_rows.tolist())
+
+        if final_bm:
+            keep_rows = np.array(keep_rows, int)
+            names = np.array([infos[i]["name"] for i in keep_rows])
+            data_dict["bm_points"] = [b[:, :3] for b in final_bm]
+            data_dict["gt_boxes"] = np.concatenate(
+                [gt_boxes, sampled_boxes[keep_rows, :7]]) if len(gt_boxes) \
+                else sampled_boxes[keep_rows, :7]
+            data_dict["gt_names"] = np.concatenate([gt_names, names]) \
+                if len(gt_names) else names
+            data_dict["points"] = points
+            data_dict["augment_box_num"] = len(names)
+            data_dict["aug_boxes_image_idx"] = img_idx[keep_rows]
+            data_dict["aug_boxes_gt_idx"] = gt_idx[keep_rows]
+        else:
+            data_dict["gt_boxes"], data_dict["gt_names"] = gt_boxes, gt_names
+        return data_dict
 
 
 class DataAugmentor:
@@ -634,6 +924,13 @@ class DataAugmentor:
                 data_dict = handler(data_dict, rng=rng)
                 continue
             cfg = handler
+            # bm_points may still be a per-box list (SupGTSampling output);
+            # world transforms need one array
+            if isinstance(data_dict.get("bm_points"), list):
+                lst = data_dict["bm_points"]
+                data_dict["bm_points"] = (
+                    np.concatenate(lst, axis=0).astype(np.float32)
+                    if lst else np.zeros((0, 3), np.float32))
             specials = [
                 data_dict[k] for k in SPECIAL_NAMES if k in data_dict and len(data_dict[k])
             ]
@@ -662,4 +959,11 @@ class DataAugmentor:
             data_dict["gt_boxes"][:, 6], offset=0.5, period=2 * np.pi
         )
         data_dict.pop("gt_boxes_inds", None)
+        # SupGTSampling leaves bm_points as a per-box list when no bm
+        # querier follows it in the queue; downstream wants one array
+        if isinstance(data_dict.get("bm_points"), list):
+            lst = data_dict["bm_points"]
+            data_dict["bm_points"] = (
+                np.concatenate(lst, axis=0).astype(np.float32)
+                if lst else np.zeros((0, 3), np.float32))
         return data_dict

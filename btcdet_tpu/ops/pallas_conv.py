@@ -517,6 +517,17 @@ def _fused_call(table, keys_blk, qk, starts_blk, nnz, weights, *, mode, G, TPG,
 
 DEBUG_OVERFLOW = os.environ.get("BTCDET_PALLAS_DEBUG", "0") == "1"
 
+# Optional machine-readable overflow audit (tools/audit_caps.py): when a
+# sink is registered, every fused-conv rulebook build reports its exact
+# dropped-match count through a host callback (VERDICT r1 next #4).
+_OVERFLOW_SINK = None
+
+
+def set_overflow_sink(fn):
+    """fn(overflow_count: np.int32, n: int, win: int, nblocks: int) or None."""
+    global _OVERFLOW_SINK
+    _OVERFLOW_SINK = fn
+
 
 def _qk_nnz(qk):
     """Live output-row count from the query keys: padding rows have every
@@ -530,11 +541,16 @@ def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
     nbb = nblocks - nba
     table, keys_blk, kp, NP = prep_table(in_features, in_keys, win, nblocks)
     starts = window_starts(kp, qk, win, tile, nba, nbb)
-    if DEBUG_OVERFLOW:
+    if DEBUG_OVERFLOW or _OVERFLOW_SINK is not None:
         ov = span_overflow(kp, qk, starts, win, nba, nbb, tile)
-        jax.debug.print(
-            "pallas_conv window overflow (N={n} win={w}x{nb}): {o}",
-            n=in_keys.shape[0], w=win, nb=nblocks, o=ov)
+        if _OVERFLOW_SINK is not None:
+            jax.debug.callback(
+                _OVERFLOW_SINK, ov,
+                n=in_keys.shape[0], win=win, nblocks=nblocks, ordered=False)
+        else:
+            jax.debug.print(
+                "pallas_conv window overflow (N={n} win={w}x{nb}): {o}",
+                n=in_keys.shape[0], w=win, nb=nblocks, o=ov)
     return table, keys_blk, starts
 
 
