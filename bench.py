@@ -60,13 +60,19 @@ def train_bench(batch_size: int = 2, iters: int = 5):
     }))
 
 
-def main(batch_size: int = 8, iters: int = 6, mode: str = "test"):
+def main(batch_size: int = 8, iters: int = 6, mode: str = "test",
+         occ_vox_cap: int = 0):
     from btcdet_tpu.config import cfg_from_yaml_file
     from btcdet_tpu.datasets import make_synthetic_batch
     from btcdet_tpu.models import build_network
     from btcdet_tpu.models.detectors.btcnet import post_processing
 
     cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    if occ_vox_cap:
+        # cap-sizing risk check (--occ_vox_cap 40000 = reference eval cap)
+        for proc in cfg.DATA_CONFIG.DATA_PROCESSOR:
+            if proc.NAME == "transform_points_to_sphere_voxels":
+                proc.MAX_NUMBER_OF_VOXELS[mode] = occ_vox_cap
     net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
     batch = {
         k: jnp.asarray(v)
@@ -142,9 +148,11 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--mode", type=str, default="test")
     p.add_argument("--train", action="store_true")
+    p.add_argument("--occ_vox_cap", type=int, default=0,
+                   help="override occ voxel cap (40000 = reference eval cap)")
     a = p.parse_args()
     wait_for_device()
     if a.train:
         train_bench(max(a.batch_size, 2), min(a.iters, 10))
     else:
-        main(a.batch_size, a.iters, a.mode)
+        main(a.batch_size, a.iters, a.mode, a.occ_vox_cap)

@@ -363,6 +363,20 @@ class PointSAModuleMSG(nn.Module):
         return jnp.where(new_mask[..., None], out, 0.0)
 
 
+def gather_points(features, idx):
+    """Row gather (reference `pointnet2_batch` gather_points /
+    GatherOperation, channels-last here): features (B, N, C),
+    idx (B, M) int -> (B, M, C). Differentiable (gather has a natural
+    scatter-add VJP in XLA, matching the CUDA gather_points_grad)."""
+    return jax.vmap(lambda f, ix: f[ix])(features, idx)
+
+
+def grouping_operation(features, idx):
+    """Grouped gather (reference `pointnet2_batch` grouping_operation):
+    features (B, N, C), idx (B, M, S) -> (B, M, S, C)."""
+    return jax.vmap(lambda f, ix: f[ix])(features, idx)
+
+
 def three_nn(unknown, unknown_mask, known, known_mask):
     """3 nearest neighbors (reference `pointnet2_batch` three_nn).
     unknown: (B, N, 3), known: (B, M, 3) -> dist (B, N, 3), idx (B, N, 3)."""

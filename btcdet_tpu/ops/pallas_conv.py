@@ -529,6 +529,24 @@ def set_overflow_sink(fn):
     _OVERFLOW_SINK = fn
 
 
+def audit_overflow(in_keys, qk, win: int, nblocks: int, tile: int):
+    """Report this conv's exact window-overflow count to the registered
+    sink WITHOUT running the Pallas kernel -- the window spans depend
+    only on (keys, qk), so the audit is backend-independent (used by
+    tools/audit_caps.py on CPU, where the XLA engine runs instead)."""
+    if _OVERFLOW_SINK is None:
+        return
+    nba = nblocks // 2
+    nbb = nblocks - nba
+    N = in_keys.shape[0]
+    NP = _round_up(max(N, (nblocks + 1) * win), win)
+    kp = jnp.pad(in_keys, (0, NP - N), constant_values=INT32_MAX)
+    starts = window_starts(kp, qk, win, tile, nba, nbb)
+    ov = span_overflow(kp, qk, starts, win, nba, nbb, tile)
+    jax.debug.callback(_OVERFLOW_SINK, ov, n=N, win=win, nblocks=nblocks,
+                       ordered=False)
+
+
 def _qk_nnz(qk):
     """Live output-row count from the query keys: padding rows have every
     tap == -1, and live rows precede padding rows (key-sorted tables), so

@@ -978,6 +978,15 @@ class SubMConv3d(nn.Module):
             qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
             out = _pallas_subm_ad(
                 (G, TPG, T, WIN, NB, st.capacity), st.features, w, qk, st.keys)
+        elif (pallas_conv._OVERFLOW_SINK is not None
+              and _pallas_supported(self.kernel_size, self.out_channels)):
+            # capacity audit on a non-TPU backend: report the overflow the
+            # fused kernel WOULD see, then run the XLA engine as usual
+            T, WIN, NB = _PALLAS_SUBM_CFG
+            qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
+            pallas_conv.audit_overflow(st.keys, qk, WIN, NB, T)
+            in_idx, found = subm_rulebook(st, self.kernel_size, cache)
+            out = apply_rulebook_matmul(st.features, in_idx, found, w)
         else:
             grouped = _use_grouped(self.kernel_size)
             rb_key = ("subm_g" if grouped else "subm", self.indice_key)
@@ -1029,6 +1038,14 @@ class SparseConv3d(nn.Module):
             cache, self.indice_key, st, self.kernel_size, self.stride,
             self.padding, cap,
         )
+        if (pallas_conv._OVERFLOW_SINK is not None
+                and not use_pallas("conv")
+                and _pallas_supported(self.kernel_size, self.out_channels)):
+            T, WIN, NB = _PALLAS_STRIDED_CFG
+            qk_a, _, _ = _pallas_conv_qk(
+                st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
+                self.padding, cache, self.indice_key, T)
+            pallas_conv.audit_overflow(st.keys, qk_a, WIN, NB, T)
         if use_pallas("conv") and _pallas_supported(self.kernel_size, self.out_channels):
             T, WIN, NB = _PALLAS_STRIDED_CFG
             qk, G, TPG = _pallas_conv_qk(

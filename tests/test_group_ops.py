@@ -155,3 +155,30 @@ def test_shell_query_shared_candidates_falls_back_to_exact():
     d = np.linalg.norm(
         np.asarray(pts)[0][np.asarray(idx_shell)[0]] - centers[0][:, None], axis=-1)
     assert ((d > 1.0 - 1e-4) & (d < 3.0 + 1e-4)).all()
+
+
+def test_gather_and_grouping_operation():
+    """Dense-batch gather surface (reference pointnet2_batch
+    gather_points / grouping_operation) incl. the scatter-add gradient."""
+    rng = np.random.RandomState(7)
+    feats = rng.randn(2, 10, 4).astype(np.float32)
+    idx = rng.randint(0, 10, (2, 5)).astype(np.int32)
+    out = group_ops.gather_points(jnp.asarray(feats), jnp.asarray(idx))
+    assert out.shape == (2, 5, 4)
+    np.testing.assert_allclose(np.asarray(out)[1, 3], feats[1, idx[1, 3]])
+
+    gidx = rng.randint(0, 10, (2, 5, 3)).astype(np.int32)
+    g = group_ops.grouping_operation(jnp.asarray(feats), jnp.asarray(gidx))
+    assert g.shape == (2, 5, 3, 4)
+    np.testing.assert_allclose(np.asarray(g)[0, 2, 1], feats[0, gidx[0, 2, 1]])
+
+    # gradient scatter-adds duplicates (CUDA gather_points_grad parity)
+    def loss(f):
+        return group_ops.gather_points(f, jnp.asarray(idx)).sum()
+
+    grad = np.asarray(jax.grad(loss)(jnp.asarray(feats)))
+    counts = np.zeros((2, 10))
+    for b in range(2):
+        for i in idx[b]:
+            counts[b, i] += 1
+    np.testing.assert_allclose(grad[..., 0], counts)

@@ -27,15 +27,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")
 # always CPU: the overflow sink uses jax.debug.callback, which the
 # tunneled-TPU (axon) PJRT plugin does not support; capacities and
-# overflow counts are static-shape properties, identical on CPU
+# overflow counts are static-shape properties, identical on CPU.
+# The env var must be set BEFORE jax import (config.update alone does
+# not stop the axon plugin from claiming the backend here).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 jax.config.update("jax_platforms", "cpu")
 
 from btcdet_tpu.config import cfg_from_yaml_file

@@ -1,0 +1,124 @@
+"""Overfit-to-convergence proof through the FULL CLI stack (VERDICT r1
+next #6): the 20-step soak shows the loss decreases; this shows the
+loss/target plumbing can actually SOLVE the task.
+
+Pipeline: synthetic on-disk KITTI tree -> create_kitti_infos ->
+create_groundtruth_database -> best-match db -> tools/train.py (real
+dataloader + augmentor, world aug disabled so frames are memorizable)
+-> trailing eval on the SAME frames through eval_one_epoch ->
+kitti_eval official AP. Success = near-zero loss and high AP on the
+memorized frames.
+
+    python tools/overfit_proof.py [--epochs 150] [--frames 10] [--fresh]
+
+Results land in output/overfit/ and are summarized on stdout; record
+them in docs/ROUND2.md.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+os.chdir(REPO)
+sys.path.insert(0, str(REPO))
+
+
+def build_data(root: Path, n_frames: int):
+    from btcdet_tpu.datasets import bestmatch
+    from btcdet_tpu.datasets.kitti import kitti_infos
+    from btcdet_tpu.datasets.synthetic_kitti import make_raw_kitti
+
+    root.mkdir(parents=True, exist_ok=True)
+    # train == val == all frames: we overfit and evaluate on the same set
+    make_raw_kitti(root, n_frames=n_frames, n_train=n_frames, seed=7)
+    (root / "ImageSets" / "val.txt").write_text(
+        (root / "ImageSets" / "train.txt").read_text())
+    kitti_infos.create_kitti_infos(root, workers=2)
+    bestmatch.create_best_match_db(root, class_names=("Car",), splits=("train",))
+
+
+def write_cfg(root: Path, out_cfg: Path):
+    """Flagship config with the data rooted at the synthetic tree, val
+    split = train split, and world augmentation disabled (memorization
+    needs deterministic frames; the bm querier stays on for occ
+    supervision)."""
+    import yaml
+
+    from btcdet_tpu.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    d = json.loads(json.dumps(cfg))  # EasyDict -> plain dict
+    dc = d["DATA_CONFIG"]
+    dc.pop("_BASE_CONFIG_", None)
+    dc["DATA_PATH"] = str(root)
+    dc["DATA_SPLIT"] = {"train": "train", "test": "val"}
+    dc["INFO_PATH"] = {"train": ["kitti_infos_train.pkl"],
+                       "test": ["kitti_infos_val.pkl"]}
+    dc["FOV_POINTS_ONLY"] = False
+    dc["DATA_AUGMENTOR"]["DISABLE_AUG_LIST"] = [
+        "gt_sampling", "random_world_flip", "random_world_rotation",
+        "random_world_scaling",
+    ]
+    out_cfg.write_text(yaml.safe_dump(d, sort_keys=False))
+    return out_cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe previous overfit run first")
+    args = ap.parse_args()
+
+    work = REPO / "output" / "overfit"
+    if args.fresh and work.exists():
+        import shutil
+        shutil.rmtree(work)
+    data_root = work / "data"
+    if not (data_root / "kitti_infos_train.pkl").exists():
+        print("building synthetic KITTI tree ...", flush=True)
+        build_data(data_root, args.frames)
+    cfg_path = write_cfg(data_root, work / "btcdet_overfit.yaml")
+
+    cmd = [
+        sys.executable, "tools/train.py",
+        "--cfg_file", str(cfg_path),
+        "--extra_tag", "overfit",
+        "--epochs", str(args.epochs),
+        "--batch_size", str(args.batch_size),
+        "--workers", "2",
+        "--ckpt_save_interval", str(args.epochs),
+        "--max_ckpt_save_num", "1",
+        "--num_epochs_to_eval", "1",
+    ]
+    print("running:", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    log = proc.stdout + proc.stderr
+    (work / "train_eval.log").write_text(log)
+    if proc.returncode != 0:
+        print(log[-4000:])
+        raise SystemExit(f"train/eval failed rc={proc.returncode}")
+
+    losses = [float(m) for m in re.findall(r"\bloss=([0-9.]+)", log)]
+    aps = dict(re.findall(r"(Car_3d/\w+_R40)[=: ]+([0-9.]+)", log))
+    summary = {
+        "epochs": args.epochs,
+        "frames": args.frames,
+        "first_loss": losses[0] if losses else None,
+        "final_loss": losses[-1] if losses else None,
+        "min_loss": min(losses) if losses else None,
+        "ap": {k: float(v) for k, v in aps.items()},
+    }
+    print(json.dumps(summary, indent=1))
+    (work / "summary.json").write_text(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
