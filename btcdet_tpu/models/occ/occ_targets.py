@@ -63,6 +63,9 @@ class OccGridSpec(NamedTuple):
     # binning, which turns the sphere->occ scatter into a per-azimuth
     # one-hot MATMUL (measured 20ms scatter -> <1ms MXU)
     sphere_reproj_2d: np.ndarray | None = None
+    # occlusion-direction ablation (reference MODEL.OCC.PARAMS.REVERSE_VIS,
+    # `occ_targets_template.py:67,111-134`): NOTHING | BACK_TRACK | VCC
+    reverse_vis: str = "NOTHING"
 
 
 def build_grid_spec(data_cfg) -> OccGridSpec:
@@ -174,6 +177,7 @@ def build_grid_spec(data_cfg) -> OccGridSpec:
         sphere_to_grid_map=sphere_map,
         voxel_centers_xyz=centers,
         sphere_reproj_2d=sphere_reproj_2d,
+        reverse_vis=str(occ.get("REVERSE_VIS", "NOTHING")),
     )
 
 
@@ -280,9 +284,11 @@ def occlusion_mask(
         jnp.where(inr, 1.0, 0.0)
     )[:-1].reshape(batch_size, snz, sny, snx)
 
-    if spec.empt_sur_thresh < 9:
+    if spec.empt_sur_thresh < 9 and spec.reverse_vis not in ("VCC", "BACK_TRACK"):
         # empty beams surrounded by > thresh occupied neighbors count as
-        # occupied at range 0 (reference `get_empty_mask:186`)
+        # occupied at range 0 (reference `get_empty_mask:186`; the VCC /
+        # BACK_TRACK reference branches skip it, `occ_targets_template.py
+        # :111-126`)
         counts2d = smask.sum(axis=3)  # (B, snz, sny)
         neigh = jax.lax.reduce_window(
             counts2d[..., None], 0.0, jax.lax.add,
@@ -292,16 +298,34 @@ def occlusion_mask(
         empty_occ = (counts2d == 0) & (neigh > spec.empt_sur_thresh)
         smask = smask.at[:, :, :, 0].set(empty_occ.astype(jnp.float32))
 
-    # running-OR along the range axis as a triangular matmul: XLA's
-    # cumsum along the minor (lane) axis lowers poorly (~6ms for this
-    # 1.6M grid); (B*snz*sny, snx) @ triu-ones rides the MXU instead
-    tri = jnp.triu(jnp.ones((snx, snx), jnp.float32))
-    counts = jax.lax.dot_general(
-        smask.reshape(-1, snx), tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(smask.shape)
-    occluded_sphere = counts > 0.9
+    # running reductions along the range axis as matmuls with banded
+    # matrices: XLA's cumsum along the minor (lane) axis lowers poorly
+    # (~6ms for this 1.6M grid); (B*snz*sny, snx) @ band rides the MXU
+    def _range_matmul(m, band):
+        return jax.lax.dot_general(
+            m.reshape(-1, snx), band,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(m.shape)
+
+    triu = jnp.triu(jnp.ones((snx, snx), jnp.float32))
+    if spec.reverse_vis == "BACK_TRACK":
+        # reference `occ_targets_template.py:123-126`: beyond the LAST
+        # return (reverse cumsum == 0) or at/behind the first return
+        rev = _range_matmul(smask, jnp.tril(jnp.ones((snx, snx), jnp.float32)))
+        occluded_sphere = (rev < 0.9) | (_range_matmul(smask, triu) > 0.9)
+    elif spec.reverse_vis == "VCC":
+        # reference `:111-122`: the stride//2 cells in FRONT of each
+        # return are visible (range index clamped at 0); everything
+        # else, returns included, is occluded
+        h = (spec.dist_kern[2] + 1) // 2
+        jj = jnp.arange(snx)[:, None]
+        ii = jnp.arange(snx)[None, :]
+        band = (((jj - ii >= 1) & (jj - ii <= h)) | ((ii == 0) & (jj <= h)))
+        vis = _range_matmul(smask, band.astype(jnp.float32))
+        occluded_sphere = (vis < 0.5) | (smask > 0.5)
+    else:
+        occluded_sphere = _range_matmul(smask, triu) > 0.9
 
     if spec.coord_type == "sphere":
         return occluded_sphere

@@ -69,36 +69,43 @@ class ResidualCoder:
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *extras], axis=-1)
 
 
-class AbsResidualCoder(ResidualCoder):
-    """Variant with absolute dims against a fixed template (reference
-    `box_coder_utils.AbsResidualCoder`). Dims are encoded as log(d / mean)
-    of the per-class mean size passed at construction."""
+class AbsResidualCoder:
+    """Absolute-difference coder (reference
+    `box_coder_utils.AbsResidualCoder:4-76`): every component is a plain
+    difference vs the anchor (no diagonal normalization, no log dims);
+    heading optionally as (cos g - cos a, sin g - sin a)."""
 
-    def __init__(self, code_size: int = 7, mean_size=(3.9, 1.6, 1.56), **kwargs):
-        super().__init__(code_size=code_size, **kwargs)
-        self.mean_size = jnp.asarray(mean_size, dtype=jnp.float32)
+    def __init__(self, code_size: int = 7, encode_angle_by_sincos: bool = False, **kwargs):
+        self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
+        self.encode_angle_by_sincos = encode_angle_by_sincos
 
     def encode(self, boxes, anchors):
-        fake_anchors = jnp.concatenate(
-            [
-                anchors[..., 0:3],
-                jnp.broadcast_to(self.mean_size, anchors[..., 3:6].shape),
-                anchors[..., 6:],
-            ],
-            axis=-1,
-        )
-        return super().encode(boxes, fake_anchors)
+        da = jnp.clip(anchors[..., 3:6], 1e-5, None)
+        dg = jnp.clip(boxes[..., 3:6], 1e-5, None)
+        ctr = boxes[..., 0:3] - anchors[..., 0:3]
+        dim = dg - da
+        ra, rg = anchors[..., 6:7], boxes[..., 6:7]
+        if self.encode_angle_by_sincos:
+            rot = jnp.concatenate(
+                [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)], axis=-1)
+        else:
+            rot = rg - ra
+        extra = boxes[..., 7:] - anchors[..., 7:]
+        return jnp.concatenate([ctr, dim, rot, extra], axis=-1)
 
     def decode(self, box_encodings, anchors):
-        fake_anchors = jnp.concatenate(
-            [
-                anchors[..., 0:3],
-                jnp.broadcast_to(self.mean_size, anchors[..., 3:6].shape),
-                anchors[..., 6:],
-            ],
-            axis=-1,
-        )
-        return super().decode(box_encodings, fake_anchors)
+        ctr = box_encodings[..., 0:3] + anchors[..., 0:3]
+        dim = box_encodings[..., 3:6] + anchors[..., 3:6]
+        ra = anchors[..., 6:7]
+        if self.encode_angle_by_sincos:
+            rg = jnp.arctan2(
+                box_encodings[..., 7:8] + jnp.sin(ra),
+                box_encodings[..., 6:7] + jnp.cos(ra))
+            extra = box_encodings[..., 8:] + anchors[..., 7:]
+        else:
+            rg = box_encodings[..., 6:7] + ra
+            extra = box_encodings[..., 7:] + anchors[..., 7:]
+        return jnp.concatenate([ctr, dim, rg, extra], axis=-1)
 
 
 class DeltaXYZWLHRBBoxCoder(ResidualCoder):
@@ -125,6 +132,18 @@ class PreviousResidualDecoder:
         dyg = jnp.exp(wt) * dya
         dzg = jnp.exp(ht) * dza
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rt + ra], axis=-1)
+
+
+class PreviousResidualRoIDecoder(PreviousResidualDecoder):
+    """Decode-only legacy RoI coder (reference
+    `box_coder_utils.PreviousResidualRoIDecoder:185-216`): identical to
+    PreviousResidualDecoder except the heading decodes as ra - rt."""
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        out = PreviousResidualDecoder.decode(box_encodings, anchors)
+        rg = anchors[..., 6] - box_encodings[..., 6]
+        return jnp.concatenate([out[..., :6], rg[..., None]], axis=-1)
 
 
 class PointResidualCoder:
@@ -178,6 +197,7 @@ _CODERS = {
     "AbsResidualCoder": AbsResidualCoder,
     "DeltaXYZWLHRBBoxCoder": DeltaXYZWLHRBBoxCoder,
     "PreviousResidualDecoder": PreviousResidualDecoder,
+    "PreviousResidualRoIDecoder": PreviousResidualRoIDecoder,
     "PointResidualCoder": PointResidualCoder,
 }
 

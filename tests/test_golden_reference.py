@@ -1,0 +1,248 @@
+"""Golden-fixture parity tests (VERDICT r1 next #2): every case loads
+reference-module outputs captured by tools/gen_golden_fixtures.py
+(reference torch code EXECUTED on CPU, nothing copied) and asserts the
+JAX implementation reproduces them.
+
+Covered reference surfaces:
+  box_coder_utils.py (all coders) -> btcdet_tpu/utils/box_coder.py
+  axis_aligned_target_assigner.py + anchor_generator.py
+      -> models/dense_heads/anchor_head.py
+  loss_utils.py -> utils/loss_utils.py
+  anchor_head_template.py:140-162 (sin-diff, direction bins)
+  coords_utils.py -> utils/coords.py
+  box_utils.boxes3d_nearest_bev_iou -> utils/box_utils.py
+  occ_targets_template.occ_from_sphere_ocp (NOTHING / BACK_TRACK / VCC)
+      -> models/occ/occ_targets.occlusion_mask
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btcdet_tpu.models.dense_heads.anchor_head import assign_targets_single_class
+from btcdet_tpu.models.occ import occ_targets as T
+from btcdet_tpu.utils import box_coder, box_utils, common, coords, loss_utils
+
+FX = json.loads(
+    (Path(__file__).parent / "fixtures" / "golden_reference.json").read_text())
+
+
+def _a(x):
+    return np.asarray(x, np.float32)
+
+
+class TestBoxCoders:
+    fx = FX["box_coder"]
+
+    def test_residual(self):
+        c = box_coder.ResidualCoder()
+        np.testing.assert_allclose(
+            c.encode(_a(self.fx["boxes"]), _a(self.fx["anchors"])),
+            _a(self.fx["residual_enc"]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            c.decode(_a(self.fx["enc_in"]), _a(self.fx["anchors"])),
+            _a(self.fx["residual_dec"]), rtol=1e-5, atol=1e-5)
+
+    def test_residual_sincos(self):
+        c = box_coder.ResidualCoder(encode_angle_by_sincos=True)
+        np.testing.assert_allclose(
+            c.encode(_a(self.fx["boxes"]), _a(self.fx["anchors"])),
+            _a(self.fx["residual_sincos_enc"]), rtol=1e-5, atol=1e-5)
+        enc8 = np.concatenate(
+            [_a(self.fx["enc_in"]), _a(self.fx["enc_in"])[:, :1]], axis=1)
+        np.testing.assert_allclose(
+            c.decode(enc8, _a(self.fx["anchors"])),
+            _a(self.fx["residual_sincos_dec"]), rtol=1e-5, atol=1e-5)
+
+    def test_abs_residual(self):
+        c = box_coder.AbsResidualCoder()
+        np.testing.assert_allclose(
+            c.encode(_a(self.fx["boxes"]), _a(self.fx["anchors"])),
+            _a(self.fx["abs_residual_enc"]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            c.decode(_a(self.fx["enc_in"]), _a(self.fx["anchors"])),
+            _a(self.fx["abs_residual_dec"]), rtol=1e-5, atol=1e-5)
+
+    def test_previous_residual(self):
+        np.testing.assert_allclose(
+            box_coder.PreviousResidualDecoder.decode(
+                _a(self.fx["enc_in"]), _a(self.fx["anchors"])),
+            _a(self.fx["prev_residual_dec"]), rtol=1e-5, atol=1e-5)
+
+    def test_previous_residual_roi(self):
+        np.testing.assert_allclose(
+            box_coder.PreviousResidualRoIDecoder.decode(
+                _a(self.fx["enc_in"]), _a(self.fx["anchors"])),
+            _a(self.fx["prev_residual_roi_dec"]), rtol=1e-5, atol=1e-5)
+
+    def test_point_residual(self):
+        c = box_coder.PointResidualCoder(mean_size=[[3.9, 1.6, 1.56]])
+        cls = np.asarray(self.fx["classes"], np.int32)
+        np.testing.assert_allclose(
+            c.encode(_a(self.fx["boxes"]), _a(self.fx["points"]), cls),
+            _a(self.fx["point_residual_enc"]), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            c.decode(_a(self.fx["enc_in8"]), _a(self.fx["points"]), cls),
+            _a(self.fx["point_residual_dec"]), rtol=1e-5, atol=1e-5)
+
+
+class TestAssigner:
+    fx = FX["assigner"]
+
+    def test_assign_targets(self):
+        anchors = _a(self.fx["anchors"])
+        gt = _a(self.fx["gt_boxes"])  # (B, M, 8) zero-padded
+        A = anchors.shape[0]
+        coder = box_coder.ResidualCoder()
+        sel = jnp.ones((A,), bool)
+        for b in range(gt.shape[0]):
+            gt_valid = gt[b, :, 7] > 0
+            labels, regt, regm = jax.jit(
+                lambda g, v: assign_targets_single_class(
+                    jnp.asarray(anchors), sel, g, v, 1,
+                    self.fx["matched_threshold"],
+                    self.fx["unmatched_threshold"], coder, False)
+            )(jnp.asarray(gt[b, :, :7]), jnp.asarray(gt_valid))
+            np.testing.assert_array_equal(
+                np.asarray(labels), np.asarray(self.fx["box_cls_labels"][b]))
+            np.testing.assert_allclose(
+                np.asarray(regt), _a(self.fx["box_reg_targets"][b]),
+                rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(regm, np.float32), _a(self.fx["reg_weights"][b]),
+                atol=0)
+
+
+class TestLosses:
+    fx = FX["losses"]
+
+    def test_sigmoid_focal(self):
+        got = loss_utils.sigmoid_focal_loss(
+            _a(self.fx["logits"]), _a(self.fx["onehot"]),
+            gamma=2.0, alpha=0.25) * _a(self.fx["weights"])[..., None]
+        np.testing.assert_allclose(
+            got, _a(self.fx["sigmoid_focal"]), rtol=1e-4, atol=1e-5)
+
+    def test_smooth_l1(self):
+        # documented divergence: the reference COMMENTS OUT the code-wise
+        # weighting inside WeightedSmoothL1Loss (`loss_utils.py:225-227`),
+        # so its fixture equals code_weights=None; we keep code_weights
+        # functional (every shipped config uses all-1.0 weights, so the
+        # losses coincide in practice)
+        got = loss_utils.weighted_smooth_l1_loss(
+            _a(self.fx["pred7"]), _a(self.fx["tgt7"]),
+            weights=_a(self.fx["weights"]), code_weights=None)
+        np.testing.assert_allclose(
+            got, _a(self.fx["smooth_l1"]), rtol=1e-4, atol=1e-5)
+        ones = loss_utils.weighted_smooth_l1_loss(
+            _a(self.fx["pred7"]), _a(self.fx["tgt7"]),
+            weights=_a(self.fx["weights"]), code_weights=[1.0] * 7)
+        np.testing.assert_allclose(ones, got, rtol=1e-6)
+
+    def test_cross_entropy(self):
+        got = loss_utils.weighted_cross_entropy(
+            _a(self.fx["logits"]), _a(self.fx["onehot"]),
+            weights=_a(self.fx["weights"]))
+        np.testing.assert_allclose(
+            got, _a(self.fx["cross_entropy"]), rtol=1e-4, atol=1e-5)
+
+    def test_softmax_focal(self):
+        got = loss_utils.softmax_focal_loss(
+            _a(self.fx["softmax_logits"]), _a(self.fx["softmax_onehot"]),
+            alpha=1.0, gamma=2.0)[:, None] * _a(self.fx["softmax_weights"])
+        np.testing.assert_allclose(
+            got, _a(self.fx["softmax_focal"]), rtol=1e-3, atol=1e-5)
+
+    def test_corner_loss(self):
+        got = loss_utils.get_corner_loss_lidar(
+            _a(self.fx["corner_pred"]), _a(self.fx["corner_gt"]))
+        np.testing.assert_allclose(
+            got, _a(self.fx["corner_loss"]), rtol=1e-4, atol=1e-5)
+
+
+class TestHeadEncodings:
+    fx = FX["head_encodings"]
+
+    def test_sin_difference(self):
+        b1, b2 = _a(self.fx["boxes1"]), _a(self.fx["boxes2"])
+        pr, tr = b1[..., 6], b2[..., 6]
+        got1 = np.concatenate(
+            [b1[..., :6], (np.sin(pr) * np.cos(tr))[..., None]], axis=-1)
+        got2 = np.concatenate(
+            [b2[..., :6], (np.cos(pr) * np.sin(tr))[..., None]], axis=-1)
+        np.testing.assert_allclose(got1, _a(self.fx["sin_diff_b1"]), rtol=1e-5)
+        np.testing.assert_allclose(got2, _a(self.fx["sin_diff_b2"]), rtol=1e-5)
+
+    def test_direction_target(self):
+        anchors = _a(self.fx["anchors"]).reshape(2, -1, 7)
+        regt = _a(self.fx["reg_targets"])
+        rot_gt = regt[..., 6] + anchors[..., 6]
+        offset_rot = common.limit_period(
+            rot_gt - self.fx["dir_offset"], 0, 2 * np.pi)
+        bins = np.clip(
+            np.floor(offset_rot / (2 * np.pi / self.fx["num_bins"])),
+            0, self.fx["num_bins"] - 1).astype(np.int32)
+        onehot = np.eye(self.fx["num_bins"], dtype=np.float32)[bins]
+        np.testing.assert_array_equal(onehot, _a(self.fx["dir_onehot"]))
+
+
+class TestCoords:
+    fx = FX["coords"]
+
+    def test_sphere(self):
+        np.testing.assert_allclose(
+            coords.absxyz_to_sphere(_a(self.fx["points"])),
+            _a(self.fx["sphere"]), rtol=1e-4, atol=1e-4)
+
+    def test_cylinder(self):
+        np.testing.assert_allclose(
+            coords.absxyz_to_cylinder(_a(self.fx["points"])),
+            _a(self.fx["cylinder"]), rtol=1e-4, atol=1e-4)
+
+    def test_sphere_roundtrip(self):
+        s = _a(self.fx["sphere"])
+        np.testing.assert_allclose(
+            coords.sphere_to_absxyz(s[:, 0], s[:, 1], s[:, 2]),
+            _a(self.fx["sphere_roundtrip_xyz"]), rtol=1e-4, atol=1e-4)
+
+
+def test_bev_iou():
+    fx = FX["bev_iou"]
+    got = box_utils.boxes3d_nearest_bev_iou(
+        jnp.asarray(_a(fx["boxes_a"])), jnp.asarray(_a(fx["boxes_b"])))
+    np.testing.assert_allclose(np.asarray(got), _a(fx["iou"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["None", "BACK_TRACK", "VCC"])
+def test_occlusion_mask_golden(variant):
+    """End-to-end through occlusion_mask: points placed at the sphere-cell
+    centers of the fixture mask must reproduce the reference
+    occ_from_sphere_ocp output for each REVERSE_VIS variant."""
+    fx = FX["occ_occlusion"]
+    mask = np.asarray(fx["mask"], np.uint8)  # (B, elev, azi, dist)
+    B, snz, sny, snx = mask.shape
+    sr = (2.0, -15.0, -8.0, 18.0, 15.0, 8.0)
+    svs = (1.0, 5.0, 4.0)
+    spec = T.OccGridSpec(
+        coord_type="sphere", grid_size=(snx, sny, snz), voxel_size=svs,
+        point_cloud_range=sr, det_point_cloud_range=sr,
+        dist_kern=tuple(fx["dist_kern"]), concede_x=0, empt_sur_thresh=9,
+        sphere_grid_size=(snx, sny, snz), sphere_voxel_size=svs,
+        sphere_range=sr, sphere_to_grid_map=None, voxel_centers_xyz=None,
+        reverse_vis={"None": "NOTHING"}.get(variant, variant),
+    )
+    bb, zz, yy, xx = np.nonzero(mask)
+    d = sr[0] + (xx + 0.5) * svs[0]
+    az = sr[1] + (yy + 0.5) * svs[1]
+    el = sr[2] + (zz + 0.5) * svs[2]
+    pts = np.asarray(coords.sphere_to_absxyz(d, az, el), np.float32)
+    occ = T.occlusion_mask(
+        spec, jnp.asarray(pts), jnp.ones((len(bb),), bool),
+        jnp.asarray(bb, jnp.int32), jnp.zeros((B,), jnp.float32), B)
+    np.testing.assert_array_equal(
+        np.asarray(occ, np.uint8), np.asarray(fx[f"occluded_{variant}"], np.uint8))

@@ -1,0 +1,313 @@
+"""Capture golden input/output fixtures from the REFERENCE torch modules
+(VERDICT r1 next #2): box coders (`btcdet/utils/box_coder_utils.py`),
+AxisAlignedTargetAssigner + AnchorGenerator
+(`btcdet/models/dense_heads/target_assigner/`), loss functions
+(`btcdet/utils/loss_utils.py`), sin-difference / direction-bin encodings
+(`anchor_head_template.py:140-162`), spherical coordinate transforms
+(`btcdet/utils/coords_utils.py`), nearest-BEV IoU
+(`btcdet/utils/box_utils.py:313`), and the sphere-occlusion cumsum
+(`occ_targets_template.py:109-134`).
+
+The reference code is EXECUTED (torch CPU, cuda redirected) on small
+seeded inputs; nothing is copied. Outputs land in
+tests/fixtures/golden_reference.json and are asserted against the JAX
+implementations by tests/test_golden_reference.py.
+
+Run: python tools/gen_golden_fixtures.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO))
+
+from extract_reference_manifest import REFERENCE, _CpuOnly, install_stubs  # noqa: E402
+
+OUT = REPO / "tests" / "fixtures" / "golden_reference.json"
+
+
+def _np(x):
+    return np.asarray(x.detach().cpu().numpy() if torch.is_tensor(x) else x)
+
+
+def _lst(x):
+    return _np(x).tolist()
+
+
+def box_coder_fixtures(rng):
+    from btcdet.utils import box_coder_utils
+
+    n = 14
+    anchors = np.stack([
+        rng.uniform(0, 40, n), rng.uniform(-20, 20, n), rng.uniform(-2, 0, n),
+        rng.uniform(1.5, 4.5, n), rng.uniform(1.2, 2.0, n), rng.uniform(1.2, 1.9, n),
+        rng.uniform(-np.pi, np.pi, n),
+    ], axis=1).astype(np.float32)
+    boxes = anchors + rng.uniform(-0.4, 0.4, (n, 7)).astype(np.float32)
+    enc_in = rng.uniform(-0.5, 0.5, (n, 7)).astype(np.float32)
+    enc_in8 = rng.uniform(-0.5, 0.5, (n, 8)).astype(np.float32)
+    points = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    classes = rng.randint(1, 2, n).astype(np.int64)
+
+    out = {
+        "anchors": anchors.tolist(),
+        "boxes": boxes.tolist(),
+        "enc_in": enc_in.tolist(),
+        "enc_in8": enc_in8.tolist(),
+        "points": points.tolist(),
+        "classes": classes.tolist(),
+    }
+    t = lambda a: torch.from_numpy(np.array(a, np.float32))
+
+    for sincos in (False, True):
+        c = box_coder_utils.ResidualCoder(encode_angle_by_sincos=sincos)
+        enc = c.encode_torch(t(boxes), t(anchors))
+        dec = c.decode_torch(t(enc_in if not sincos else
+                               np.concatenate([enc_in, enc_in[:, :1]], 1)),
+                             t(anchors))
+        key = "residual_sincos" if sincos else "residual"
+        out[f"{key}_enc"] = _lst(enc)
+        out[f"{key}_dec"] = _lst(dec)
+
+    c = box_coder_utils.AbsResidualCoder()
+    out["abs_residual_enc"] = _lst(c.encode_torch(t(boxes), t(anchors)))
+    out["abs_residual_dec"] = _lst(c.decode_torch(t(enc_in), t(anchors)))
+
+    out["prev_residual_dec"] = _lst(
+        box_coder_utils.PreviousResidualDecoder.decode_torch(t(enc_in), t(anchors)))
+    out["prev_residual_roi_dec"] = _lst(
+        box_coder_utils.PreviousResidualRoIDecoder.decode_torch(t(enc_in), t(anchors)))
+
+    with _CpuOnly():
+        c = box_coder_utils.PointResidualCoder(mean_size=[[3.9, 1.6, 1.56]])
+        pe = c.encode_torch(t(boxes).clone(), t(points),
+                            torch.from_numpy(classes))
+        pd = c.decode_torch(t(enc_in8), t(points), torch.from_numpy(classes))
+    out["point_residual_enc"] = _lst(pe)
+    out["point_residual_dec"] = _lst(pd)
+    return out
+
+
+def assigner_fixtures(rng):
+    """AnchorGenerator on a tiny grid + AxisAlignedTargetAssigner on
+    padded gt (pos_fraction<0 deterministic path, match_height=False):
+    the flagship Car setup at toy scale."""
+    from easydict import EasyDict
+
+    from btcdet.models.dense_heads.target_assigner.anchor_generator import (
+        AnchorGenerator,
+    )
+    from btcdet.models.dense_heads.target_assigner.axis_aligned_target_assigner import (
+        AxisAlignedTargetAssigner,
+    )
+    from btcdet.utils import box_coder_utils
+
+    pcr = [0.0, -8.0, -3.0, 16.0, 8.0, 1.0]
+    agc = [EasyDict({
+        "class_name": "Car",
+        "anchor_sizes": [[3.9, 1.6, 1.56]],
+        "anchor_rotations": [0, 1.57],
+        "anchor_bottom_heights": [-1.78],
+        "align_center": False,
+        "feature_map_stride": 1,
+        "matched_threshold": 0.6,
+        "unmatched_threshold": 0.45,
+    })]
+    grid = [8, 8]  # (nx, ny)
+    gen = AnchorGenerator(anchor_range=pcr, anchor_generator_config=agc)
+    with _CpuOnly():
+        anchors_list, cnt = gen.generate_anchors([np.array(grid)])
+    anchors6d = anchors_list[0]  # (Z, Y, X, S, R, 7)
+    fmap_size = list(anchors6d.shape[:3])
+    anchors_flat = anchors6d.view(-1, 7)
+
+    B, M = 2, 5
+    gt = np.zeros((B, M, 8), np.float32)
+    for b in range(B):
+        k = 3 if b == 0 else 2
+        gt[b, :k, 0] = rng.uniform(2, 14, k)
+        gt[b, :k, 1] = rng.uniform(-6, 6, k)
+        gt[b, :k, 2] = rng.uniform(-1.8, -0.8, k)
+        gt[b, :k, 3:6] = np.array([3.9, 1.6, 1.56]) * rng.uniform(0.9, 1.1, (k, 3))
+        gt[b, :k, 6] = rng.uniform(-np.pi, np.pi, k)
+        gt[b, :k, 7] = 1  # Car
+
+    model_cfg = EasyDict({
+        "ANCHOR_GENERATOR_CONFIG": agc,
+        "TARGET_ASSIGNER_CONFIG": EasyDict({
+            "POS_FRACTION": -1.0, "SAMPLE_SIZE": 512,
+            "NORM_BY_NUM_EXAMPLES": False, "MATCH_HEIGHT": False,
+            "NAME": "AxisAlignedTargetAssigner", "BOX_CODER": "ResidualCoder",
+        }),
+    })
+    assigner = AxisAlignedTargetAssigner(
+        model_cfg, ["Car"], box_coder_utils.ResidualCoder(), match_height=False)
+    with _CpuOnly():
+        tgt = assigner.assign_targets(
+            [anchors6d], torch.from_numpy(gt))
+    return {
+        "anchors_view_shape": fmap_size,
+        "anchors": _lst(anchors_flat),
+        "gt_boxes": gt.tolist(),
+        "matched_threshold": 0.6,
+        "unmatched_threshold": 0.45,
+        "box_cls_labels": _lst(tgt["box_cls_labels"]),
+        "box_reg_targets": _lst(tgt["box_reg_targets"]),
+        "reg_weights": _lst(tgt["reg_weights"]),
+    }
+
+
+def loss_fixtures(rng):
+    from btcdet.utils import loss_utils
+
+    B, N, C = 2, 24, 3
+    logits = rng.randn(B, N, C).astype(np.float32)
+    onehot = np.eye(C, dtype=np.float32)[rng.randint(0, C, (B, N))]
+    weights = rng.uniform(0, 2, (B, N)).astype(np.float32)
+    pred7 = rng.randn(B, N, 7).astype(np.float32)
+    tgt7 = rng.randn(B, N, 7).astype(np.float32)
+    code_w = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0]
+    t = torch.from_numpy
+
+    out = {
+        "logits": logits.tolist(), "onehot": onehot.tolist(),
+        "weights": weights.tolist(), "pred7": pred7.tolist(),
+        "tgt7": tgt7.tolist(), "code_weights": code_w,
+    }
+    f = loss_utils.SigmoidFocalClassificationLoss(gamma=2.0, alpha=0.25)
+    out["sigmoid_focal"] = _lst(f(t(logits), t(onehot), t(weights)))
+    sl = loss_utils.WeightedSmoothL1Loss(code_weights=code_w)
+    out["smooth_l1"] = _lst(sl(t(pred7), t(tgt7), t(weights)))
+    ce = loss_utils.WeightedCrossEntropyLoss()
+    out["cross_entropy"] = _lst(ce(t(logits), t(onehot), t(weights)))
+
+    # softmax focal is used by the occ head with (N, C, ...) layout
+    sm_logits = rng.randn(16, 4).astype(np.float32)
+    sm_onehot = np.eye(4, dtype=np.float32)[rng.randint(0, 4, 16)]
+    sm_w = rng.uniform(0, 2, (16, 1)).astype(np.float32)
+    sf = loss_utils.SoftmaxFocalClassificationLoss(alpha=1.0, gamma=2.0)
+    out["softmax_logits"] = sm_logits.tolist()
+    out["softmax_onehot"] = sm_onehot.tolist()
+    out["softmax_weights"] = sm_w.tolist()
+    out["softmax_focal"] = _lst(sf(t(sm_logits), t(sm_onehot), t(sm_w)))
+
+    corners_pred = rng.randn(6, 7).astype(np.float32)
+    corners_gt = corners_pred + rng.uniform(-0.3, 0.3, (6, 7)).astype(np.float32)
+    out["corner_pred"] = corners_pred.tolist()
+    out["corner_gt"] = corners_gt.tolist()
+    out["corner_loss"] = _lst(
+        loss_utils.get_corner_loss_lidar(t(corners_pred), t(corners_gt)))
+    return out
+
+
+def head_encoding_fixtures(rng):
+    from btcdet.models.dense_heads.anchor_head_template import AnchorHeadTemplate
+
+    B, A = 2, 20
+    boxes1 = rng.randn(B, A, 7).astype(np.float32)
+    boxes2 = rng.randn(B, A, 7).astype(np.float32)
+    anchors = rng.randn(B * A, 7).astype(np.float32)
+    reg_targets = rng.randn(B, A, 7).astype(np.float32)
+    t = torch.from_numpy
+    b1, b2 = AnchorHeadTemplate.add_sin_difference(t(boxes1), t(boxes2))
+    with _CpuOnly():
+        dir_oh = AnchorHeadTemplate.get_direction_target(
+            t(anchors), t(reg_targets), one_hot=True,
+            dir_offset=0.78539, num_bins=2)
+    return {
+        "boxes1": boxes1.tolist(), "boxes2": boxes2.tolist(),
+        "anchors": anchors.tolist(), "reg_targets": reg_targets.tolist(),
+        "dir_offset": 0.78539, "num_bins": 2,
+        "sin_diff_b1": _lst(b1), "sin_diff_b2": _lst(b2),
+        "dir_onehot": _lst(dir_oh),
+    }
+
+
+def coords_fixtures(rng):
+    from btcdet.utils import coords_utils
+
+    pts = rng.uniform(-40, 40, (60, 3)).astype(np.float32)
+    pts[:, 0] = np.abs(pts[:, 0]) + 1.0  # front hemisphere like KITTI FOV
+    t = torch.from_numpy
+    sph = coords_utils.cartesian_sphere_coords(t(pts))
+    cyl = coords_utils.cartesian_cylinder_coords(t(pts))
+    sph_np = _np(sph)
+    back = coords_utils.sphere_uvd2absxyz(
+        t(sph_np[:, 0]), t(sph_np[:, 1]), t(sph_np[:, 2]))
+    return {
+        "points": pts.tolist(),
+        "sphere": _lst(sph),
+        "cylinder": _lst(cyl),
+        "sphere_roundtrip_xyz": _lst(back),
+    }
+
+
+def bev_iou_fixtures(rng):
+    from btcdet.utils import box_utils
+
+    a = np.stack([
+        rng.uniform(0, 20, 10), rng.uniform(-10, 10, 10), rng.uniform(-2, 0, 10),
+        rng.uniform(1.5, 4.5, 10), rng.uniform(1.2, 2.0, 10), rng.uniform(1.2, 1.9, 10),
+        rng.uniform(-np.pi, np.pi, 10),
+    ], axis=1).astype(np.float32)
+    b = a[:6] + rng.uniform(-1.5, 1.5, (6, 7)).astype(np.float32)
+    iou = box_utils.boxes3d_nearest_bev_iou(torch.from_numpy(a), torch.from_numpy(b))
+    return {"boxes_a": a.tolist(), "boxes_b": b.tolist(), "iou": _lst(iou)}
+
+
+def occ_occlusion_fixtures(rng):
+    """`occ_from_sphere_ocp` default + BACK_TRACK branches on a random
+    sphere-grid mask (occ_targets_template.py:109-134). The methods read
+    only self.reverse_vis, so a minimal fake self suffices."""
+    from btcdet.models.occ_pnt.occ_training_targets.occ_targets_template import (
+        OccTargetsTemplate,
+    )
+
+    class _Fake:
+        pass
+
+    from easydict import EasyDict
+
+    mask = (rng.random((2, 4, 6, 16)) < 0.15).astype(np.uint8)
+    t = torch.from_numpy(mask)
+    out = {"mask": mask.tolist(), "dist_kern": [3, 3, 3]}
+    for rv in ("None", "BACK_TRACK", "VCC"):
+        fake = _Fake()
+        fake.reverse_vis = rv
+        fake.data_cfg = EasyDict({"OCC": {"DIST_KERN": out["dist_kern"]}})
+        occ = OccTargetsTemplate.occ_from_sphere_ocp(fake, None, t.clone())
+        out[f"occluded_{rv}"] = _np(occ).astype(np.uint8).tolist()
+    return out
+
+
+def main():
+    install_stubs()
+    sys.path.insert(0, str(REFERENCE))
+    torch.manual_seed(0)
+    rng = np.random.RandomState(42)
+    with _CpuOnly():
+        fx = {
+            "box_coder": box_coder_fixtures(rng),
+            "assigner": assigner_fixtures(rng),
+            "losses": loss_fixtures(rng),
+            "head_encodings": head_encoding_fixtures(rng),
+            "coords": coords_fixtures(rng),
+            "bev_iou": bev_iou_fixtures(rng),
+            "occ_occlusion": occ_occlusion_fixtures(rng),
+        }
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    OUT.write_text(json.dumps(fx))
+    print(f"wrote {OUT} ({OUT.stat().st_size/1024:.0f} KiB)")
+
+
+if __name__ == "__main__":
+    main()
