@@ -112,7 +112,7 @@ class VoxelBackBone8xOcc(nn.Module):
     # input capacity. Strided sparse convs *dilate* the active set (a
     # stride-2 3^3 conv can emit ~1.5-2.5x the input sites on LiDAR
     # data, tools/voxel_stats.py), so too-small caps silently truncate
-    # the highest-key (top-of-grid) sites, while every rulebook build /
+    # the highest-key (largest-y, i.e. left-edge) sites, while every rulebook build /
     # gather / BN scales linearly with capacity -- measure, then size
     # with headroom. `level_caps_eval` overrides at eval time (train and
     # eval run different voxel budgets).

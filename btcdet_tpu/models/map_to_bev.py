@@ -21,9 +21,9 @@ class HeightCompression:
         # only consumer is the bf16 conv pyramid, so densify at bf16 to
         # halve the scatter+read HBM traffic
         st = st.replace(features=st.features.astype(jnp.bfloat16))
-        d = st.dense()  # (B, nz, ny, nx, C)
-        B, nz, ny, nx, C = d.shape
-        return d.transpose(0, 2, 3, 1, 4).reshape(B, ny, nx, nz * C)
+        d = st.dense(layout="yzx")  # (B, ny, nz, nx, C): scatter-native
+        B, ny, nz, nx, C = d.shape
+        return d.transpose(0, 1, 3, 2, 4).reshape(B, ny, nx, nz * C)
 
 
 class PointPillarScatter:

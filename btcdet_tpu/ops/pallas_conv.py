@@ -6,7 +6,7 @@ rulebook build ~4ms + 27 row-gathers ~4ms per conv on v5e) with ONE
 kernel that exploits the sort order of the voxel tables:
 
   * Both the input and output voxel tables are sorted by linear key
-    (b, z, y, x).  For every kernel tap, the query key of an output row
+    (b, y, z, x).  For every kernel tap, the query key of an output row
     is an arithmetic function of its coords, and is *monotone* in the
     output rank -- so the inputs contributing to a tile of T consecutive
     output rows live in a small contiguous *window* of the input table.
@@ -24,12 +24,20 @@ Numerics: features are cast to bfloat16 for the kernel (one-hot x bf16
 value with f32 accumulate is an exact selection of the bf16 value);
 accumulation is f32.
 
-Window coverage: a tap group's matches for one tile must fit in
-NBLOCKS * WIN input rows.  Submanifold convs (in set == out set) have
-spans ~= T + local density skew; strided convs up to ~stride^2 x T.
-`span_overflow` computes the exact number of dropped matches for a
-given sizing (used by tests and the stats tool); sizes are per-call
-parameters with conservative defaults.
+Window coverage: a tap group's matches for one tile must fit in the
+dual windows (NBLOCKS * WIN input rows total).  Tap groups fix (dz, dy)
+so one tile's matches form at most two contiguous runs of input rows,
+and the table keys are Y-MAJOR (b, y, z, x -- see ops/sparse.py): a
+group's shift then stays inside a near-constant-density neighborhood
+(dy: the adjacent lateral slab, dz: the adjacent height line within
+the slab), bounding the measured per-window requirement at ~1.1x the
+tile size across every backbone level.  Under z-major keys the dz
+groups of a sparse plane query a dense plane and the span scales with
+the z-density RATIO (measured 5.5x tile at L3) -- uncoverable by any
+fixed window; that is why the sort order is part of this kernel's
+contract.  `span_overflow` computes the exact number of dropped
+matches for a given sizing (tests + tools/audit_caps.py); sizes are
+per-call parameters with conservative defaults.
 
 Reference parity: this implements the same rule semantics as
 `btcdet_tpu/ops/sparse.py` (`subm_rulebook` + `apply_rulebook_matmul`
@@ -92,10 +100,19 @@ def prep_table(features: jax.Array, keys: jax.Array, win: int, nblocks: int):
 
 def qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, tile: int):
     """Per-tap query keys for a submanifold conv: neighbor at
-    coords + (off - k//2). Returns (qk (G, MP, 16) int32, G, TPG)."""
+    coords + (off - k//2). Returns (qk (G, MP, 16) int32, G, TPG).
+
+    Groups are (dz, dy) pairs (TPG = kx): with both z and y fixed per
+    group, a tile's matches occupy one contiguous key interval per
+    sort-order discontinuity the tile straddles (<= 2, handled by the
+    dual anchor). The earlier dz-only grouping (TPG = ky*kx) produced
+    up to ky separate clusters per tile and silently dropped matches
+    between the two window anchors at flagship occupancy (audit: ~1.8k
+    matches/call on subm3). Bonus: the kernel's window shrinks from 6
+    to 4 blocks, cutting the dominant one-hot matmul work by a third."""
     kz, ky, kx = _triple(kernel_size)
     nz, ny, nx = spatial_shape
-    G, TPG = kz, ky * kx
+    G, TPG = kz * ky, kx
     assert TPG <= TAP_PAD
     M = coords.shape[0]
     MP = _round_up(M, tile)
@@ -105,18 +122,19 @@ def qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, tile: int)
     groups = []
     for dzi in range(kz):
         dz = dzi - kz // 2
-        taps = []
         for dyi in range(ky):
+            dy = dyi - ky // 2
+            taps = []
             for dxi in range(kx):
-                dy, dx = dyi - ky // 2, dxi - kx // 2
+                dx = dxi - kx // 2
                 z2, y2, x2 = z + dz, y + dy, x + dx
                 ok = (
                     valid & (z2 >= 0) & (z2 < nz) & (y2 >= 0) & (y2 < ny)
                     & (x2 >= 0) & (x2 < nx)
                 )
-                key = ((b * nz + z2) * ny + y2) * nx + x2
+                key = ((b * ny + y2) * nz + z2) * nx + x2  # y-major (ops/sparse.py)
                 taps.append(jnp.where(ok, key.astype(jnp.int32), -1))
-        groups.append(jnp.stack(taps, axis=-1))  # (M, TPG)
+            groups.append(jnp.stack(taps, axis=-1))  # (M, TPG)
     qk = jnp.stack(groups, axis=0)  # (G, M, TPG)
     qk = jnp.pad(qk, ((0, 0), (0, MP - M), (0, TAP_PAD - TPG)),
                  constant_values=-1)
@@ -131,7 +149,7 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
     kz, ky, kx = _triple(kernel_size)
     s, p = _triple(stride), _triple(padding)
     nz, ny, nx = in_spatial_shape
-    G, TPG = kz, ky * kx
+    G, TPG = kz * ky, kx  # (dz, dy) groups: see qkeys_subm
     assert TPG <= TAP_PAD
     M = out_coords.shape[0]
     MP = _round_up(M, tile)
@@ -140,8 +158,8 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
     oz, oy, ox = out_coords[:, 1], out_coords[:, 2], out_coords[:, 3]
     groups = []
     for dz in range(kz):
-        taps = []
         for dy in range(ky):
+            taps = []
             for dx in range(kx):
                 if transpose:
                     numz, numy, numx = oz + p[0] - dz, oy + p[1] - dy, ox + p[2] - dx
@@ -159,9 +177,9 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
                     out_valid & divok & (z2 >= 0) & (z2 < nz) & (y2 >= 0) & (y2 < ny)
                     & (x2 >= 0) & (x2 < nx)
                 )
-                key = ((b * nz + z2) * ny + y2) * nx + x2
+                key = ((b * ny + y2) * nz + z2) * nx + x2  # y-major (ops/sparse.py)
                 taps.append(jnp.where(ok, key.astype(jnp.int32), -1))
-        groups.append(jnp.stack(taps, axis=-1))
+            groups.append(jnp.stack(taps, axis=-1))
     qk = jnp.stack(groups, axis=0)
     qk = jnp.pad(qk, ((0, 0), (0, MP - M), (0, TAP_PAD - TPG)),
                  constant_values=-1)
@@ -529,7 +547,8 @@ def set_overflow_sink(fn):
     _OVERFLOW_SINK = fn
 
 
-def audit_overflow(in_keys, qk, win: int, nblocks: int, tile: int):
+def audit_overflow(in_keys, qk, win: int, nblocks: int, tile: int,
+                   tag: str | None = None):
     """Report this conv's exact window-overflow count to the registered
     sink WITHOUT running the Pallas kernel -- the window spans depend
     only on (keys, qk), so the audit is backend-independent (used by
@@ -543,8 +562,20 @@ def audit_overflow(in_keys, qk, win: int, nblocks: int, tile: int):
     kp = jnp.pad(in_keys, (0, NP - N), constant_values=INT32_MAX)
     starts = window_starts(kp, qk, win, tile, nba, nbb)
     ov = span_overflow(kp, qk, starts, win, nba, nbb, tile)
-    jax.debug.callback(_OVERFLOW_SINK, ov, n=N, win=win, nblocks=nblocks,
-                       ordered=False)
+    # exact required coverage: the widest (group, tile) match-rank span,
+    # in input rows -- tells what NBLOCKS*WIN would make this conv exact
+    G, MP, TP = qk.shape
+    tiles = MP // tile
+    qv = jnp.where(qk < 0, INT32_MAX, qk)
+    flat = qv.reshape(G, tiles, tile * TP)
+    qmin = flat.min(axis=-1).reshape(-1)
+    qmax = jnp.where(flat == INT32_MAX, -1, flat).max(axis=-1).reshape(-1)
+    lo = jnp.searchsorted(kp, qmin, method="sort")
+    hi = jnp.searchsorted(kp, qmax, side="right", method="sort")
+    span = jnp.where(qmax >= 0, hi - lo, 0)
+    jax.debug.callback(
+        functools.partial(_OVERFLOW_SINK, tag=tag), ov, n=N, win=win,
+        nblocks=nblocks, span_max=span.max(), tile=tile, ordered=False)
 
 
 def _qk_nnz(qk):
@@ -563,7 +594,7 @@ def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
         ov = span_overflow(kp, qk, starts, win, nba, nbb, tile)
         if _OVERFLOW_SINK is not None:
             jax.debug.callback(
-                _OVERFLOW_SINK, ov,
+                functools.partial(_OVERFLOW_SINK, tag=None), ov,
                 n=in_keys.shape[0], win=win, nblocks=nblocks, ordered=False)
         else:
             jax.debug.print(
@@ -574,7 +605,7 @@ def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
 
 def _conv_fwd(in_features, in_keys, qk, weights, *, G, TPG, T, WIN, NB, M,
               nnz=None, interpret=False):
-    """weights (K, Cin, Cout) with K = G * TPG (dz-major tap order).
+    """weights (K, Cin, Cout) with K = G * TPG ((dz, dy)-major tap order).
     nnz: live output-row count for tile skipping; defaults to the full
     padded capacity (no skipping)."""
     K, Cin, CO = weights.shape
@@ -615,7 +646,7 @@ def cached_qk_conv(out_coords, out_valid, in_spatial_shape, batch_size,
 
 
 def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
-                    batch_size, weights, kernel_size, *, T=256, WIN=128, NB=6,
+                    batch_size, weights, kernel_size, *, T=256, WIN=128, NB=4,
                     cache=None, cache_key=None, interpret=False):
     """Submanifold conv forward on the fused kernel. Returns (M, CO) f32."""
     qk, G, TPG = cached_qk_subm(st_coords, st_valid, spatial_shape, batch_size,
@@ -627,7 +658,7 @@ def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
 
 def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
                batch_size, weights, kernel_size, stride, padding, *,
-               transpose=False, T=128, WIN=128, NB=6, cache=None,
+               transpose=False, T=128, WIN=128, NB=4, cache=None,
                cache_key=None, interpret=False):
     """Strided (or transpose/inverse) conv forward on the fused kernel."""
     qk, G, TPG = cached_qk_conv(out_coords, out_valid, in_spatial_shape,

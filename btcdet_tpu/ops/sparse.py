@@ -6,7 +6,14 @@ backbones, the occ head and the ROI head; see reference
 gather-GEMM formulation that is jit-able and static-shape:
 
   * Active voxels live in capacity-padded tables sorted by a linear
-    (batch, z, y, x) key; padding rows carry key INT32_MAX.
+    (batch, y, z, x) key; padding rows carry key INT32_MAX. The sort
+    order is Y-MAJOR (not z-major): LiDAR occupancy varies smoothly
+    across lateral y but harshly across height z, so y-major keys keep
+    every kernel-tap shift (dy: one slab over, dz: one line within the
+    slab) inside a near-constant-density neighborhood -- measured
+    worst-case windowed-match spans drop from ~5.5x tile size (z-major,
+    L3) to ~1.1x (all levels), which is what lets the fused Pallas
+    kernel's fixed windows (pallas_conv.py) cover every match exactly.
   * A *rulebook* for a conv layer is, for every kernel offset k and every
     output voxel, the index of the (unique) contributing input voxel --
     computed with `jnp.searchsorted` over the sorted key table. This
@@ -104,40 +111,47 @@ class SparseTensor:
     def valid(self) -> jax.Array:
         return self.keys != INT32_MAX
 
-    def dense(self) -> jax.Array:
-        """-> (B, nz, ny, nx, C) channels-last dense tensor."""
+    def dense(self, layout: str = "zyx") -> jax.Array:
+        """-> (B, nz, ny, nx, C) channels-last dense tensor (layout
+        "zyx", default), or the scatter-native (B, ny, nz, nx, C)
+        ("yzx") which skips the transpose for consumers that fold z
+        into channels anyway (HeightCompression)."""
         nz, ny, nx = self.spatial_shape
         C = self.features.shape[-1]
         out = jnp.zeros((self.batch_size * nz * ny * nx, C), dtype=self.features.dtype)
         idx = jnp.where(self.valid, self.keys, self.batch_size * nz * ny * nx)
         out = jnp.concatenate([out, jnp.zeros((1, C), out.dtype)], axis=0)
         out = out.at[idx].set(jnp.where(self.valid[:, None], self.features, 0.0))
-        return out[:-1].reshape(self.batch_size, nz, ny, nx, C)
+        native = out[:-1].reshape(self.batch_size, ny, nz, nx, C)
+        if layout == "yzx":
+            return native
+        return native.transpose(0, 2, 1, 3, 4)
 
     def replace_features(self, features: jax.Array) -> "SparseTensor":
         return self.replace(features=features)
 
 
 def linear_key(coords: jax.Array, spatial_shape, batch_size: int) -> jax.Array:
-    """(N, 4) (b,z,y,x) -> int32 linear key; rows with b < 0 -> INT32_MAX."""
+    """(N, 4) (b,z,y,x) -> int32 Y-MAJOR linear key (b, y, z, x); rows
+    with b < 0 -> INT32_MAX. See the module docstring for why y-major."""
     nz, ny, nx = spatial_shape
     total = batch_size * nz * ny * nx
     assert total < 2**31 - 1, (
         f"grid {spatial_shape} x batch {batch_size} overflows int32 keys"
     )
-    key = ((coords[:, 0] * nz + coords[:, 1]) * ny + coords[:, 2]) * nx + coords[:, 3]
+    key = ((coords[:, 0] * ny + coords[:, 2]) * nz + coords[:, 1]) * nx + coords[:, 3]
     return jnp.where(coords[:, 0] >= 0, key.astype(jnp.int32), INT32_MAX)
 
 
 def key_to_coords(keys: jax.Array, spatial_shape) -> jax.Array:
     nz, ny, nx = spatial_shape
     invalid = keys == INT32_MAX
-    b = keys // (nz * ny * nx)
-    r = keys - b * (nz * ny * nx)
-    z = r // (ny * nx)
-    r = r - z * (ny * nx)
-    y = r // nx
-    x = r - y * nx
+    b = keys // (ny * nz * nx)
+    r = keys - b * (ny * nz * nx)
+    y = r // (nz * nx)
+    r = r - y * (nz * nx)
+    z = r // nx
+    x = r - z * nx
     coords = jnp.stack([b, z, y, x], axis=-1).astype(jnp.int32)
     return jnp.where(invalid[:, None], -1, coords)
 
@@ -389,8 +403,8 @@ def subm_rulebook_grouped(st: SparseTensor, kernel_size):
     dzy = np.array(
         [(dz - cz, dy - cy) for dz in range(kz) for dy in range(ky)], np.int32
     )  # (G, 2)
-    # arithmetic key of each group's first x-tap
-    delta = (dzy[:, 0].astype(np.int64) * ny + dzy[:, 1]) * nx - cx
+    # arithmetic key of each group's first x-tap (y-major keys)
+    delta = (dzy[:, 1].astype(np.int64) * nz + dzy[:, 0]) * nx - cx
     qkey0 = st.keys[None, :] + jnp.asarray(delta, jnp.int32)[:, None]  # (G, N)
 
     starts, pos, found = _grouped_lookup(st, qkey0, kx)
@@ -427,8 +441,8 @@ def conv_rulebook_grouped(
     z = in_z0[None, :] + jnp.asarray(dzy[:, 0])[:, None]  # (G, M)
     y = in_y0[None, :] + jnp.asarray(dzy[:, 1])[:, None]
     b = out_coords[:, 0][None, :]
-    # arithmetic linear key of the first x-tap (may be out of range)
-    qkey0 = (((b * nz + z) * ny + y) * nx + in_x0[None, :]).astype(jnp.int32)
+    # arithmetic linear key of the first x-tap (y-major; may be out of range)
+    qkey0 = (((b * ny + y) * nz + z) * nx + in_x0[None, :]).astype(jnp.int32)
 
     starts, pos, found = _grouped_lookup(in_st, qkey0, kx)
 
@@ -757,14 +771,21 @@ def apply_rulebook_max_grouped(
 # rulebook args are unused by the primal, so XLA dead-code-eliminates
 # their construction in inference programs).
 
-_PALLAS_SUBM_CFG = (256, 128, 6)    # (T, WIN, NBLOCKS); guaranteed
-# window coverage is (NB-1)*WIN rows past block rounding
+# (T, WIN, NBLOCKS) sizing, from the measured per-(group, tile) dual-
+# window requirement W* on flagship-occupancy frames under Y-MAJOR keys
+# ((dz, dy) tap groups, dual anchor => guaranteed per-window coverage is
+# (NB/2)*WIN - (WIN-1) rows past block rounding):
+#   subm    T=128: W*max ~77  -> NB=4 guarantees 129 (1.67x headroom)
+#   strided T=128: W*max ~116 -> NB=6 guarantees 257 (2.2x headroom)
+# (z-major needed W* ~709 at L3 -- unboundable; see module docstring.)
+# tools/audit_caps.py asserts zero overflow at these sizes.
+_PALLAS_SUBM_CFG = (128, 128, 4)
 _PALLAS_STRIDED_CFG = (128, 128, 6)
 
 
 def _pallas_supported(kernel_size, cout) -> bool:
     kz, ky, kx = _triple(kernel_size)
-    return ky * kx <= pallas_conv.TAP_PAD and cout <= 128
+    return kx <= pallas_conv.TAP_PAD and cout <= 128
 
 
 def _chunked_pallas_conv(features, keys, qk, weights, G, TPG, T, WIN, NB, M):
@@ -984,7 +1005,8 @@ class SubMConv3d(nn.Module):
             # fused kernel WOULD see, then run the XLA engine as usual
             T, WIN, NB = _PALLAS_SUBM_CFG
             qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
-            pallas_conv.audit_overflow(st.keys, qk, WIN, NB, T)
+            pallas_conv.audit_overflow(st.keys, qk, WIN, NB, T,
+                                       tag=f"subm:{self.indice_key or self.name}")
             in_idx, found = subm_rulebook(st, self.kernel_size, cache)
             out = apply_rulebook_matmul(st.features, in_idx, found, w)
         else:
@@ -1045,7 +1067,8 @@ class SparseConv3d(nn.Module):
             qk_a, _, _ = _pallas_conv_qk(
                 st, coords, keys != INT32_MAX, self.kernel_size, self.stride,
                 self.padding, cache, self.indice_key, T)
-            pallas_conv.audit_overflow(st.keys, qk_a, WIN, NB, T)
+            pallas_conv.audit_overflow(st.keys, qk_a, WIN, NB, T,
+                                       tag=f"conv:{self.indice_key or self.name}")
         if use_pallas("conv") and _pallas_supported(self.kernel_size, self.out_channels):
             T, WIN, NB = _PALLAS_STRIDED_CFG
             qk, G, TPG = _pallas_conv_qk(

@@ -315,3 +315,26 @@ def test_lookup_cache_not_shared_across_different_coord_sets():
     # and b's sites must NOT be found via a's table: query b's keys in a
     idx_ba, found_ba = sparse.lookup_in(sta, qb, cache)
     assert not np.asarray(found_ba)[:2].any()
+
+
+def test_dense_yzx_layout_matches_default():
+    """dense(layout='yzx') is the scatter-native (B, ny, nz, nx, C) view
+    of the default (B, nz, ny, nx, C) tensor (HeightCompression consumes
+    the native layout to skip a transpose)."""
+    rng = np.random.RandomState(11)
+    st = make_sparse(rng)
+    d_zyx = np.asarray(st.dense())
+    d_yzx = np.asarray(st.dense(layout="yzx"))
+    np.testing.assert_array_equal(d_yzx.transpose(0, 2, 1, 3, 4), d_zyx)
+
+
+def test_keys_are_y_major():
+    """The table sort key is (b, y, z, x): y outranks z (the Pallas
+    window-coverage contract, see ops/pallas_conv.py docstring)."""
+    shape = (4, 8, 8)
+    c = jnp.asarray(np.array([[0, 3, 1, 0], [0, 0, 2, 0]], np.int32))
+    k = np.asarray(sparse.linear_key(c, shape, 1))
+    # (z=3, y=1) must sort BEFORE (z=0, y=2)
+    assert k[0] < k[1]
+    back = np.asarray(sparse.key_to_coords(jnp.asarray(k), shape))
+    np.testing.assert_array_equal(back, np.asarray(c))

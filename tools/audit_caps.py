@@ -105,9 +105,10 @@ def main(n_frames=4, mode="test"):
 
     overflow = []
     pallas_conv.set_overflow_sink(
-        lambda ov, n, win, nblocks: overflow.append(
-            {"n": int(n), "win": int(win), "nblocks": int(nblocks),
-             "dropped": int(ov)}))
+        lambda ov, **kw: overflow.append(
+            {"dropped": int(ov),
+             **{k: (int(v) if not isinstance(v, str) else v)
+                for k, v in kw.items() if v is not None}}))
 
     # uncapped run: true per-level site counts
     cfg.MODEL.BACKBONE_3D.LEVEL_CAPACITIES = [UNCAPPED] * max(len(shipped_caps), 4)
@@ -148,6 +149,17 @@ def main(n_frames=4, mode="test"):
               "merge_extra_max": mrg_max,
               "pallas_overflow_total": int(sum(o["dropped"] for o in overflow)),
               "pallas_conv_calls": len(overflow)}
+    by_tag = {}
+    for o in overflow:
+        d = by_tag.setdefault(o.get("tag", "?"),
+                              {"calls": 0, "dropped": 0, "span_max": 0,
+                               "coverage": o["win"] * o["nblocks"],
+                               "tile": o.get("tile", 0)})
+        d["calls"] += 1
+        d["dropped"] = max(d["dropped"], o["dropped"])  # worst single call
+        d["span_max"] = max(d["span_max"], o.get("span_max", 0))
+    report["pallas_conv_spans"] = dict(
+        sorted(by_tag.items(), key=lambda kv: -kv[1]["dropped"]))
     ok = True
     for j, k in enumerate(cap_keys):
         true_n = level_max.get(k, 0)
