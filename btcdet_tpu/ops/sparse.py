@@ -774,12 +774,18 @@ def apply_rulebook_max_grouped(
 # (T, WIN, NBLOCKS) sizing, from the measured per-(group, tile) dual-
 # window requirement W* on flagship-occupancy frames under Y-MAJOR keys
 # ((dz, dy) tap groups, dual anchor => guaranteed per-window coverage is
-# (NB/2)*WIN - (WIN-1) rows past block rounding):
-#   subm    T=128: W*max ~77  -> NB=4 guarantees 129 (1.67x headroom)
-#   strided T=128: W*max ~116 -> NB=6 guarantees 257 (2.2x headroom)
+# (NB/2)*WIN - (WIN-1) rows past block rounding).  Kernel FLOPs scale
+# with NB*WIN per T output rows, so larger tiles amortize the block
+# rounding — but only where the span stays bounded:
+#   subm    T=256 NB=6: audited span_max 363 <= coverage, ZERO dropped;
+#           window-rows/tile ratio 3 (vs 4 at T=128/NB=4).
+#   strided T=256 NB=6: FAILS — stride-2 queries spread 256 outputs over
+#           ~2x input rows; audited span_max 943 > 768 coverage, 15.4k
+#           dropped matches (/tmp audit 2026-08-19).  Strided stays
+#           T=128 (W*max ~116, 2.2x headroom).
 # (z-major needed W* ~709 at L3 -- unboundable; see module docstring.)
 # tools/audit_caps.py asserts zero overflow at these sizes.
-_PALLAS_SUBM_CFG = (128, 128, 4)
+_PALLAS_SUBM_CFG = (256, 128, 6)
 _PALLAS_STRIDED_CFG = (128, 128, 6)
 
 

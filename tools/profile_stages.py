@@ -133,24 +133,33 @@ def main(mode="test", batch_size=1):
 
     timeit("occ targets only", occ_targets_only, variables, batch, iters=3)
 
-    # det path from merged voxels: emulate with raw det voxels (no occ)
+    # det path from merged voxels: run the occ subnet once (untimed) and
+    # feed its real PassOccVox-merged voxel set, so channel counts and
+    # occupancy match the in-model call exactly
     nz, ny, nx = net.det_grid_size[2], net.det_grid_size[1], net.det_grid_size[0]
+
+    @jax.jit
+    def merged_inputs(v, b):
+        def run(m, bb, train):
+            o = m.occ(bb, train=train)
+            return o["det_voxels"], o["det_voxel_coords"], o["det_voxel_num_points"]
+        return net.apply(v, b, train=False, method=run)
+
+    mv, mc, mn = merged_inputs(variables, batch)
+    b2 = dict(batch)
+    b2["det_voxels"], b2["det_voxel_coords"], b2["det_voxel_num_points"] = mv, mc, mn
 
     @jax.jit
     def det_backbone(v, b):
         def run(m, b, train):
             vfeat, occ_code = m.det_vfe(b["det_voxels"], b["det_voxel_num_points"])
             st = sparse.from_coords(
-                vfeat, b["det_voxel_coords"], (nz, ny, nx), 1
+                vfeat, b["det_voxel_coords"], (nz, ny, nx), b["det_voxels"].shape[0]
             )
             return m.backbone_3d(st, occ_code, train=train)["encoded"].features
         return net.apply(v, b, train=False, method=run)
 
-    # det voxels lack the occ code channels; pad them for the probe
-    b2 = dict(batch)
-    pad = jnp.zeros(batch["det_voxels"].shape[:-1] + (2,), jnp.float32)
-    b2["det_voxels"] = jnp.concatenate([batch["det_voxels"], pad], axis=-1)
-    timeit("det 3D backbone (raw vox)", det_backbone, variables, b2, iters=3)
+    timeit("det 3D backbone (merged vox)", det_backbone, variables, b2, iters=3)
 
     # --- split rulebook construction vs gather-GEMM compute -------------
     def _run_backbone(m, b, train, cache):
