@@ -98,21 +98,41 @@ def prep_table(features: jax.Array, keys: jax.Array, win: int, nblocks: int):
     return tab, keys_blk, kp, NP
 
 
+def tap_perm(kernel_size) -> tuple:
+    """Static permutation mapping the kernel's dy-major tap enumeration
+    (dy, dz, dx) -- the order `qkeys_subm`/`qkeys_conv` emit and the
+    fused kernels consume -- onto the canonical (dz, dy, dx) flat order
+    weights are stored in (spconv convention; see ops/sparse.py
+    rulebooks).  Apply as `weights[np.asarray(perm)]` going in; scatter dW
+    back with `np.argsort(perm)`."""
+    kz, ky, kx = _triple(kernel_size)
+    return tuple(
+        (dzi * ky + dyi) * kx + dxi
+        for dyi in range(ky) for dzi in range(kz) for dxi in range(kx)
+    )
+
+
 def qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, tile: int):
     """Per-tap query keys for a submanifold conv: neighbor at
     coords + (off - k//2). Returns (qk (G, MP, 16) int32, G, TPG).
 
-    Groups are (dz, dy) pairs (TPG = kx): with both z and y fixed per
-    group, a tile's matches occupy one contiguous key interval per
-    sort-order discontinuity the tile straddles (<= 2, handled by the
-    dual anchor). The earlier dz-only grouping (TPG = ky*kx) produced
-    up to ky separate clusters per tile and silently dropped matches
-    between the two window anchors at flagship occupancy (audit: ~1.8k
-    matches/call on subm3). Bonus: the kernel's window shrinks from 6
-    to 4 blocks, cutting the dominant one-hot matmul work by a third."""
+    Groups fix dy only (G = ky, TPG = kz * kx): under Y-MAJOR keys the
+    dual-anchored window of a (group, tile) covers the contiguous rank
+    interval [min match, max match], and that interval is set by the
+    min/max query KEY -- dominated by the dy shift (one full lateral
+    slab per unit).  Letting dz vary inside the group moves keys by at
+    most +-nx within the already-covered slabs, so the measured span
+    grows only a few rows vs the earlier (dz, dy) grouping (audited:
+    zero overflow at the same NB) while the grid shrinks from kz*ky to
+    ky steps per tile -- 3x fewer window DMAs and pre-pass searches for
+    a 3x3x3 kernel.  The dz-only grouping (dy varying inside a group)
+    remains incorrect under y-major keys: matches split across ky
+    slab-separated clusters and the dual anchor drops the middle one.
+    Weights must be permuted with `tap_perm` to match the (dy, dz, dx)
+    tap order."""
     kz, ky, kx = _triple(kernel_size)
     nz, ny, nx = spatial_shape
-    G, TPG = kz * ky, kx
+    G, TPG = ky, kz * kx
     assert TPG <= TAP_PAD
     M = coords.shape[0]
     MP = _round_up(M, tile)
@@ -120,11 +140,11 @@ def qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, tile: int)
     b = coords[:, 0]
     z, y, x = coords[:, 1], coords[:, 2], coords[:, 3]
     groups = []
-    for dzi in range(kz):
-        dz = dzi - kz // 2
-        for dyi in range(ky):
-            dy = dyi - ky // 2
-            taps = []
+    for dyi in range(ky):
+        dy = dyi - ky // 2
+        taps = []
+        for dzi in range(kz):
+            dz = dzi - kz // 2
             for dxi in range(kx):
                 dx = dxi - kx // 2
                 z2, y2, x2 = z + dz, y + dy, x + dx
@@ -134,7 +154,7 @@ def qkeys_subm(coords, valid, spatial_shape, batch_size, kernel_size, tile: int)
                 )
                 key = ((b * ny + y2) * nz + z2) * nx + x2  # y-major (ops/sparse.py)
                 taps.append(jnp.where(ok, key.astype(jnp.int32), -1))
-            groups.append(jnp.stack(taps, axis=-1))  # (M, TPG)
+        groups.append(jnp.stack(taps, axis=-1))  # (M, TPG)
     qk = jnp.stack(groups, axis=0)  # (G, M, TPG)
     qk = jnp.pad(qk, ((0, 0), (0, MP - M), (0, TAP_PAD - TPG)),
                  constant_values=-1)
@@ -149,7 +169,7 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
     kz, ky, kx = _triple(kernel_size)
     s, p = _triple(stride), _triple(padding)
     nz, ny, nx = in_spatial_shape
-    G, TPG = kz * ky, kx  # (dz, dy) groups: see qkeys_subm
+    G, TPG = ky, kz * kx  # dy groups, (dy, dz, dx) tap order: see qkeys_subm
     assert TPG <= TAP_PAD
     M = out_coords.shape[0]
     MP = _round_up(M, tile)
@@ -157,9 +177,9 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
     b = out_coords[:, 0]
     oz, oy, ox = out_coords[:, 1], out_coords[:, 2], out_coords[:, 3]
     groups = []
-    for dz in range(kz):
-        for dy in range(ky):
-            taps = []
+    for dy in range(ky):
+        taps = []
+        for dz in range(kz):
             for dx in range(kx):
                 if transpose:
                     numz, numy, numx = oz + p[0] - dz, oy + p[1] - dy, ox + p[2] - dx
@@ -179,7 +199,7 @@ def qkeys_conv(out_coords, out_valid, in_spatial_shape, in_batch_size,
                 )
                 key = ((b * ny + y2) * nz + z2) * nx + x2  # y-major (ops/sparse.py)
                 taps.append(jnp.where(ok, key.astype(jnp.int32), -1))
-            groups.append(jnp.stack(taps, axis=-1))
+        groups.append(jnp.stack(taps, axis=-1))
     qk = jnp.stack(groups, axis=0)
     qk = jnp.pad(qk, ((0, 0), (0, MP - M), (0, TAP_PAD - TPG)),
                  constant_values=-1)
@@ -417,15 +437,20 @@ def _fused_call_dw(table, keys_blk, qk, starts_blk, nnz, g_out, *, G, TPG,
 
 
 def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
-                  M, nnz=None, interpret=False):
+                  M, nnz=None, perm=None, interpret=False):
     """Backward of a submanifold fused conv.
 
     df: a subm conv's transpose is itself a subm conv over the SAME
-    query-key structure -- tap (dz,dy,dx) of the transpose equals tap
-    (-dz,-dy,-dx) forward -- so df = fused conv of g_out with
-    tap-reversed, transposed weights, reusing the forward qk verbatim.
-    dW[k] = AL_k^T @ g_out via the dw kernel. No rulebooks anywhere.
+    query-key structure -- tap (dy,dz,dx) of the transpose equals tap
+    (-dy,-dz,-dx) forward (full flat reversal of any lexicographic
+    enumeration over symmetric per-dim ranges) -- so df = fused conv of
+    g_out with tap-reversed, transposed weights, reusing the forward qk
+    verbatim.  dW[k] = AL_k^T @ g_out via the dw kernel; dW comes back
+    in qk tap order and is scattered to canonical order when perm is
+    given.  No rulebooks anywhere.
     """
+    if perm is not None:
+        weights = weights[np.asarray(perm)]
     K, Cin, CO = weights.shape
     w_rev = jnp.transpose(weights[::-1], (0, 2, 1))          # (K, CO, Cin)
     df = _conv_fwd(g_out, keys, qk, w_rev, G=G, TPG=TPG, T=T, WIN=WIN,
@@ -439,20 +464,25 @@ def subm_conv_bwd(features, keys, qk, weights, g_out, *, G, TPG, T, WIN, NB,
     dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, dw_nnz, gp, G=G, TPG=TPG,
                         T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
     dw = dw.reshape(K, -1, CO)[:, :Cin, :]
+    if perm is not None:
+        dw = dw[np.argsort(np.asarray(perm))]
     return df, dw
 
 
 def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
                      in_coords, in_valid, out_spatial_shape, batch_size,
                      kernel_size, stride, padding, *, G, TPG, T, WIN, NB,
-                     out_nnz=None, interpret=False):
+                     out_nnz=None, perm=None, interpret=False):
     """Backward of a strided fused conv.
 
     df[i] = sum_k g[(i + p - off_k) / s] @ W_k^T -- the transpose-conv
     query structure (`qkeys_conv(transpose=True)`) over the OUT-sorted g
-    table with per-tap transposed (NOT tap-reversed) weights.
+    table with per-tap transposed (NOT tap-reversed) weights, tap order
+    matching qk ((dy, dz, dx); perm reorders canonical weights).
     dW[k] = AL_k^T @ g over the forward query keys. No rulebooks.
     """
+    if perm is not None:
+        weights = weights[np.asarray(perm)]
     K, Cin, CO = weights.shape
     qk_t, Gt, TPGt = qkeys_conv(
         in_coords, in_valid, out_spatial_shape, batch_size,
@@ -469,6 +499,8 @@ def strided_conv_bwd(features, in_keys, qk, weights, g_out, out_keys,
     dw = _fused_call_dw(ftab, fkeys_blk, qk, fstarts, dw_nnz, gp, G=G, TPG=TPG,
                         T=T, WIN=WIN, NB=NB, CO=CO, interpret=interpret)
     dw = dw.reshape(K, -1, CO)[:, :Cin, :]
+    if perm is not None:
+        dw = dw[np.argsort(np.asarray(perm))]
     return df, dw
 
 
@@ -604,10 +636,14 @@ def _prep_common(in_features, in_keys, qk, win, nblocks, tile):
 
 
 def _conv_fwd(in_features, in_keys, qk, weights, *, G, TPG, T, WIN, NB, M,
-              nnz=None, interpret=False):
-    """weights (K, Cin, Cout) with K = G * TPG ((dz, dy)-major tap order).
-    nnz: live output-row count for tile skipping; defaults to the full
-    padded capacity (no skipping)."""
+              nnz=None, perm=None, interpret=False):
+    """weights (K, Cin, Cout) with K = G * TPG; rows must follow the qk
+    tap enumeration ((dy, dz, dx)-major) -- pass perm=tap_perm(kernel)
+    to reorder canonical (dz, dy, dx)-major weights, or None if already
+    ordered.  nnz: live output-row count for tile skipping; defaults to
+    the full padded capacity (no skipping)."""
+    if perm is not None:
+        weights = weights[np.asarray(perm)]
     K, Cin, CO = weights.shape
     table, keys_blk, starts = _prep_common(in_features, in_keys, qk, WIN, NB, T)
     w = weights.reshape(G, TPG, Cin, CO).astype(jnp.bfloat16)
@@ -653,7 +689,8 @@ def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
                                 kernel_size, T, cache, cache_key)
     return _conv_fwd(st_features, st_keys, qk, weights, G=G, TPG=TPG, T=T,
                      WIN=WIN, NB=NB, M=st_features.shape[0],
-                     nnz=jnp.sum(st_valid), interpret=interpret)
+                     nnz=jnp.sum(st_valid), perm=tap_perm(kernel_size),
+                     interpret=interpret)
 
 
 def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
@@ -667,7 +704,8 @@ def fused_conv(in_features, in_keys, out_coords, out_valid, in_spatial_shape,
                                 cache_key=cache_key)
     return _conv_fwd(in_features, in_keys, qk, weights, G=G, TPG=TPG, T=T,
                      WIN=WIN, NB=NB, M=out_coords.shape[0],
-                     nnz=jnp.sum(out_valid), interpret=interpret)
+                     nnz=jnp.sum(out_valid), perm=tap_perm(kernel_size),
+                     interpret=interpret)
 
 
 def fused_pool(in_features, in_keys, qk, G, TPG, *, mode="max", T=128,

@@ -773,13 +773,15 @@ def apply_rulebook_max_grouped(
 
 # (T, WIN, NBLOCKS) sizing, from the measured per-(group, tile) dual-
 # window requirement W* on flagship-occupancy frames under Y-MAJOR keys
-# ((dz, dy) tap groups, dual anchor => guaranteed per-window coverage is
-# (NB/2)*WIN - (WIN-1) rows past block rounding).  Kernel FLOPs scale
-# with NB*WIN per T output rows, so larger tiles amortize the block
-# rounding — but only where the span stays bounded:
-#   subm    T=256 NB=6: audited span_max 363 <= coverage, ZERO dropped;
+# (dy tap groups -- see pallas_conv.qkeys_subm; dual anchor covers a
+# contiguous [min,max] match-rank interval of up to ~NB*WIN - 2*WIN
+# rounding rows).  Kernel FLOPs scale with NB*WIN per T output rows, so
+# larger tiles amortize the block rounding -- but only where the span
+# stays bounded:
+#   subm    T=256 NB=6: audited span_max 363 ((dz,dy) groups; dy groups
+#           add at most a few z-lines) <= coverage, ZERO dropped;
 #           window-rows/tile ratio 3 (vs 4 at T=128/NB=4).
-#   strided T=256 NB=6: FAILS — stride-2 queries spread 256 outputs over
+#   strided T=256 NB=6: FAILS -- stride-2 queries spread 256 outputs over
 #           ~2x input rows; audited span_max 943 > 768 coverage, 15.4k
 #           dropped matches (/tmp audit 2026-08-19).  Strided stays
 #           T=128 (W*max ~116, 2.2x headroom).
@@ -791,19 +793,21 @@ _PALLAS_STRIDED_CFG = (128, 128, 6)
 
 def _pallas_supported(kernel_size, cout) -> bool:
     kz, ky, kx = _triple(kernel_size)
-    return kx <= pallas_conv.TAP_PAD and cout <= 128
+    return kz * kx <= pallas_conv.TAP_PAD and cout <= 128
 
 
-def _chunked_pallas_conv(features, keys, qk, weights, G, TPG, T, WIN, NB, M):
+def _chunked_pallas_conv(features, keys, qk, weights, G, TPG, T, WIN, NB, M,
+                         perm=None):
     """Channel-chunked fused conv: tables hold <= 128 lanes, so wide
-    inputs (e.g. down_combine's 3-way concat) are split and summed."""
+    inputs (e.g. down_combine's 3-way concat) are split and summed.
+    perm: static canonical->qk tap reorder (pallas_conv.tap_perm)."""
     Cin = features.shape[1]
     out = None
     for c0 in range(0, Cin, 128):
         c1 = min(c0 + 128, Cin)
         o = pallas_conv._conv_fwd(
             features[:, c0:c1], keys, qk, weights[:, c0:c1, :],
-            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M)
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M, perm=perm)
         out = o if out is None else out + o
     return out
 
@@ -814,9 +818,11 @@ def _pallas_subm_ad(cfg, features, weights, qk, in_keys):
     windowed sorted-match kernels -- no XLA rulebook is built at all
     (the transpose of a subm conv is a subm conv with tap-reversed,
     transposed weights over the same query keys; dW accumulates
-    AL^T @ g in the dw kernel)."""
-    G, TPG, T, WIN, NB, M = cfg
-    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+    AL^T @ g in the dw kernel). Weights are canonical (dz, dy, dx)
+    order; cfg carries the static tap perm into qk order."""
+    G, TPG, T, WIN, NB, M, perm = cfg
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T,
+                                WIN, NB, M, perm)
 
 
 def _pallas_subm_ad_fwd(cfg, features, weights, qk, in_keys):
@@ -825,7 +831,7 @@ def _pallas_subm_ad_fwd(cfg, features, weights, qk, in_keys):
 
 
 def _pallas_subm_ad_bwd(cfg, res, g):
-    G, TPG, T, WIN, NB, M = cfg
+    G, TPG, T, WIN, NB, M, perm = cfg
     features, weights, qk, in_keys = res
     Cin = features.shape[1]
     dfs, dws = [], []
@@ -833,7 +839,7 @@ def _pallas_subm_ad_bwd(cfg, res, g):
         c1 = min(c0 + 128, Cin)
         df_c, dw_c = pallas_conv.subm_conv_bwd(
             features[:, c0:c1], in_keys, qk, weights[:, c0:c1, :], g,
-            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M)
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, M=M, perm=perm)
         dfs.append(df_c)
         dws.append(dw_c)
     df = jnp.concatenate(dfs, axis=1) if len(dfs) > 1 else dfs[0]
@@ -848,10 +854,12 @@ _pallas_subm_ad.defvjp(_pallas_subm_ad_fwd, _pallas_subm_ad_bwd)
 def _pallas_strided_ad(cfg, features, weights, qk, in_keys, out_keys, in_coords):
     """Fully-Pallas strided conv: backward runs the transpose-query conv
     + dw kernels (see pallas_conv.strided_conv_bwd) -- no XLA rulebook.
-    cfg = (G, TPG, T, WIN, NB, M, out_shape, batch, kernel, stride, pad).
+    cfg = (G, TPG, T, WIN, NB, M, out_shape, batch, kernel, stride, pad,
+    perm) with perm the static canonical->qk tap reorder.
     """
     G, TPG, T, WIN, NB, M = cfg[:6]
-    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T,
+                                WIN, NB, M, cfg[11])
 
 
 def _pallas_strided_ad_fwd(cfg, features, weights, qk, in_keys, out_keys, in_coords):
@@ -860,7 +868,7 @@ def _pallas_strided_ad_fwd(cfg, features, weights, qk, in_keys, out_keys, in_coo
 
 
 def _pallas_strided_ad_bwd(cfg, res, g):
-    G, TPG, T, WIN, NB, M, out_shape, batch, k, s, p = cfg
+    G, TPG, T, WIN, NB, M, out_shape, batch, k, s, p, perm = cfg
     features, weights, qk, in_keys, out_keys, in_coords = res
     in_valid = in_keys != INT32_MAX
     Cin = features.shape[1]
@@ -870,7 +878,7 @@ def _pallas_strided_ad_bwd(cfg, res, g):
         df_c, dw_c = pallas_conv.strided_conv_bwd(
             features[:, c0:c1], in_keys, qk, weights[:, c0:c1, :], g,
             out_keys, in_coords, in_valid, out_shape, batch, k, s, p,
-            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB)
+            G=G, TPG=TPG, T=T, WIN=WIN, NB=NB, perm=perm)
         dfs.append(df_c)
         dws.append(dw_c)
     df = jnp.concatenate(dfs, axis=1) if len(dfs) > 1 else dfs[0]
@@ -883,8 +891,12 @@ _pallas_strided_ad.defvjp(_pallas_strided_ad_fwd, _pallas_strided_ad_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _pallas_conv_ad(cfg, features, weights, qk, in_keys, rb_idx, rb_found):
-    G, TPG, T, WIN, NB, M = cfg
-    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T, WIN, NB, M)
+    """Pallas forward, XLA-rulebook backward; weights canonical order
+    (the rulebook bwd differentiates the canonical expression, so only
+    the primal permutes)."""
+    G, TPG, T, WIN, NB, M, perm = cfg
+    return _chunked_pallas_conv(features, in_keys, qk, weights, G, TPG, T,
+                                WIN, NB, M, perm)
 
 
 def _pallas_conv_ad_fwd(cfg, features, weights, qk, in_keys, rb_idx, rb_found):
@@ -1004,7 +1016,9 @@ class SubMConv3d(nn.Module):
             T, WIN, NB = _PALLAS_SUBM_CFG
             qk, G, TPG = _pallas_subm_qk(st, self.kernel_size, cache, self.indice_key, T)
             out = _pallas_subm_ad(
-                (G, TPG, T, WIN, NB, st.capacity), st.features, w, qk, st.keys)
+                (G, TPG, T, WIN, NB, st.capacity,
+                 pallas_conv.tap_perm(self.kernel_size)),
+                st.features, w, qk, st.keys)
         elif (pallas_conv._OVERFLOW_SINK is not None
               and _pallas_supported(self.kernel_size, self.out_channels)):
             # capacity audit on a non-TPU backend: report the overflow the
@@ -1086,7 +1100,8 @@ class SparseConv3d(nn.Module):
                 (G, TPG, T, WIN, NB, keys.shape[0],
                  tuple(int(x) for x in out_shape), st.batch_size,
                  _triple(self.kernel_size), _triple(self.stride),
-                 _triple(self.padding)),
+                 _triple(self.padding),
+                 pallas_conv.tap_perm(self.kernel_size)),
                 st.features, w, qk, st.keys, keys, st.coords)
         else:
             grouped = _use_grouped(self.kernel_size)

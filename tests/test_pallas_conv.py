@@ -132,7 +132,7 @@ def test_pallas_subm_full_backward_matches_engine():
         st.coords, st.valid, st.spatial_shape, st.batch_size, 3, 256)
 
     def pal_loss(f, ww):
-        out = S._pallas_subm_ad((G, TPG, 256, 128, 6, st.capacity),
+        out = S._pallas_subm_ad((G, TPG, 256, 128, 6, st.capacity, P.tap_perm(3)),
                                 f, ww, qk, st.keys)
         return (out ** 2).sum()
 
@@ -170,7 +170,7 @@ def test_pallas_strided_full_backward_matches_engine():
         coords, keys != S.INT32_MAX, st.spatial_shape, st.batch_size, 3, 2, 1, T)
     cfg = (G, TPG, T, 128, 6, keys.shape[0],
            tuple(int(x) for x in out_shape), st.batch_size,
-           (3, 3, 3), (2, 2, 2), (1, 1, 1))
+           (3, 3, 3), (2, 2, 2), (1, 1, 1), P.tap_perm(3))
 
     def pal_loss(f, ww):
         out = S._pallas_strided_ad(cfg, f, ww, qk, st.keys, keys, st.coords)
@@ -213,7 +213,8 @@ def test_pallas_conv_ad_gradients_match_engine():
 
     def pal_loss(f, ww):
         out = S._pallas_conv_ad(
-            (G, TPG, 256, 128, 6, st.capacity), f, ww, qk, st.keys, in_idx, found)
+            (G, TPG, 256, 128, 6, st.capacity, P.tap_perm(3)),
+            f, ww, qk, st.keys, in_idx, found)
         return (out ** 2).sum()
 
     # the custom-vjp backward differentiates the XLA expression with the

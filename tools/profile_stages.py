@@ -136,7 +136,7 @@ def main(mode="test", batch_size=1):
     # det path from merged voxels: run the occ subnet once (untimed) and
     # feed its real PassOccVox-merged voxel set, so channel counts and
     # occupancy match the in-model call exactly
-    nz, ny, nx = net.det_grid_size[2], net.det_grid_size[1], net.det_grid_size[0]
+    nz, ny, nx = net.det_grid_size[2] + 1, net.det_grid_size[1], net.det_grid_size[0]
 
     @jax.jit
     def merged_inputs(v, b):
