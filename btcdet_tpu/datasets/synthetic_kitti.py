@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+IMAGE_SHAPE = (375, 1242)  # kitti_infos.py:44 default when image_2/ absent
+
 CALIB_TXT = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
 P1: 700 0 600 0 0 700 180 0 0 0 1 0
 P2: 700 0 600 44 0 700 180 0.1 0 0 1 0.003
@@ -17,6 +19,34 @@ R0_rect: 1 0 0 0 1 0 0 0 1
 Tr_velo_to_cam: 0 -1 0 0 0 0 -1 -0.08 1 0 0 -0.27
 Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 -0.3
 """
+
+
+_P2 = np.array([[700, 0, 600, 44], [0, 700, 180, 0.1], [0, 0, 1, 0.003]],
+               dtype=np.float64)  # must match CALIB_TXT's P2 row
+
+
+def _project_cam_box(loc_cam, lhw, ry):
+    """Project a KITTI camera-frame box (bottom-center origin) to an
+    image bbox [x1,y1,x2,y2] with P2, clipped to IMAGE_SHAPE.
+
+    Independent of btcdet_tpu.utils.box_utils on purpose: the fixture's
+    gt bboxes must not share code with the prediction projection path
+    (kitti_dataset.generate_prediction_dicts), or a projection bug would
+    cancel out of the bbox/AOS metric instead of zeroing it."""
+    l_, h_, w_ = lhw
+    x_c = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * l_ / 2
+    y_c = np.array([0, 0, 0, 0, -1, -1, -1, -1]) * h_
+    z_c = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * w_ / 2
+    c, s = np.cos(ry), np.sin(ry)
+    corners = np.stack([c * x_c + s * z_c, y_c, -s * x_c + c * z_c], axis=1)
+    corners = corners + np.asarray(loc_cam)[None]
+    uvw = corners @ _P2[:, :3].T + _P2[:, 3]
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    h_img, w_img = IMAGE_SHAPE
+    x1, y1 = uv.min(axis=0)
+    x2, y2 = uv.max(axis=0)
+    return (np.clip(x1, 0, w_img - 1), np.clip(y1, 0, h_img - 1),
+            np.clip(x2, 0, w_img - 1), np.clip(y2, 0, h_img - 1))
 
 
 def make_raw_kitti(root, n_frames=4, seed=0, n_train=None, cars_per_frame=2,
@@ -41,9 +71,17 @@ def make_raw_kitti(root, n_frames=4, seed=0, n_train=None, cars_per_frame=2,
             rng.rand(n, 1),
         ], axis=1).astype(np.float32)
         labels = []
+        placed = []
         for _ in range(cars_per_frame):
-            cx = rng.uniform(*x_range)
-            cy = rng.uniform(*y_range)
+            # rejection-sample centers >= 5 m apart so planted boxes never
+            # overlap (overlapping gt would be NMS-merged -> recall ceiling)
+            for _try in range(100):
+                cx = rng.uniform(*x_range)
+                cy = rng.uniform(*y_range)
+                if all((cx - px) ** 2 + (cy - py) ** 2 >= 25.0
+                       for px, py in placed):
+                    break
+            placed.append((cx, cy))
             cz = -1.0
             l_, w_, h_ = 3.9, 1.6, 1.56
             yaw = rng.uniform(-np.pi, np.pi)
@@ -61,8 +99,10 @@ def make_raw_kitti(root, n_frames=4, seed=0, n_train=None, cars_per_frame=2,
             # (0,-1,0),(0,0,-1),(1,0,0) per the calib above
             loc_cam = np.array([-cy, -(cz - h_ / 2) - 0.08, cx - 0.27])
             ry = -yaw - np.pi / 2
+            x1, y1, x2, y2 = _project_cam_box(loc_cam, (l_, h_, w_), ry)
             labels.append(
-                f"Car 0.0 0 {-np.arctan2(-cy, cx) + ry:.2f} 300 150 400 250 "
+                f"Car 0.0 0 {-np.arctan2(-cy, cx) + ry:.2f} "
+                f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
                 f"{h_} {w_} {l_} {loc_cam[0]:.2f} {loc_cam[1]:.2f} {loc_cam[2]:.2f} {ry:.2f}"
             )
         pts.astype(np.float32).tofile(str(root / "training" / "velodyne" / f"{fid}.bin"))

@@ -9,7 +9,7 @@ dataloader + augmentor, world aug disabled so frames are memorizable)
 kitti_eval official AP. Success = near-zero loss and high AP on the
 memorized frames.
 
-    python tools/overfit_proof.py [--epochs 150] [--frames 10] [--fresh]
+    python tools/overfit_proof.py [--epochs 150] [--frames 25] [--fresh]
 
 Results land in output/overfit/ and are summarized on stdout; record
 them in docs/ROUND2.md.
@@ -28,14 +28,23 @@ os.chdir(REPO)
 sys.path.insert(0, str(REPO))
 
 
-def build_data(root: Path, n_frames: int):
+def build_data(root: Path, n_frames: int, cars_per_frame: int = 4):
     from btcdet_tpu.datasets import bestmatch
     from btcdet_tpu.datasets.kitti import kitti_infos
     from btcdet_tpu.datasets.synthetic_kitti import make_raw_kitti
 
     root.mkdir(parents=True, exist_ok=True)
-    # train == val == all frames: we overfit and evaluate on the same set
-    make_raw_kitti(root, n_frames=n_frames, n_train=n_frames, seed=7)
+    # train == val == all frames: we overfit and evaluate on the same set.
+    # The official get_thresholds() fills at most one PR slot per tp, so a
+    # perfect detector on num_gt ground truths scores at most
+    # ~num_gt/40*100 AP_R40: num_gt must be >= ~41 for the 41-point AP to
+    # be able to reach 100 (reference eval.py get_thresholds/get_mAP_R40;
+    # with r2's 10 frames x 2 cars the ceiling was 47.5 — the observed
+    # 42.5 "failure" was this protocol artifact, not a model failure).
+    # x <= 26 m keeps every gt's image bbox height > 40 px so no gt is
+    # ignored at the 'easy' difficulty.
+    make_raw_kitti(root, n_frames=n_frames, n_train=n_frames, seed=7,
+                   cars_per_frame=cars_per_frame, x_range=(8, 26))
     (root / "ImageSets" / "val.txt").write_text(
         (root / "ImageSets" / "train.txt").read_text())
     kitti_infos.create_kitti_infos(root, workers=2)
@@ -71,7 +80,8 @@ def write_cfg(root: Path, out_cfg: Path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=150)
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=25)
+    ap.add_argument("--cars_per_frame", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe previous overfit run first")
@@ -84,7 +94,7 @@ def main():
     data_root = work / "data"
     if not (data_root / "kitti_infos_train.pkl").exists():
         print("building synthetic KITTI tree ...", flush=True)
-        build_data(data_root, args.frames)
+        build_data(data_root, args.frames, args.cars_per_frame)
     cfg_path = write_cfg(data_root, work / "btcdet_overfit.yaml")
 
     cmd = [
@@ -111,6 +121,7 @@ def main():
     summary = {
         "epochs": args.epochs,
         "frames": args.frames,
+        "cars_per_frame": args.cars_per_frame,
         "first_loss": losses[0] if losses else None,
         "final_loss": losses[-1] if losses else None,
         "min_loss": min(losses) if losses else None,
