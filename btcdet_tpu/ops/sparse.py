@@ -496,12 +496,22 @@ def apply_rulebook_matmul_grouped(
 
 
 def _unique_capped(
-    cand_keys: jax.Array, capacity: int, total_cells: int | None = None
+    cand_keys: jax.Array, capacity: int, total_cells: int | None = None,
+    cells_per_batch: int | None = None, batch_size: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Sorted-unique with static capacity.
 
     cand_keys: (M,) int32 (INT32_MAX = invalid). Returns (keys, nnz):
     keys (capacity,) sorted ascending with INT32_MAX padding.
+
+    When `batch_size > 1` (and `cells_per_batch` is given), the capacity
+    is allocated PER FRAME (capacity // batch_size slots each) instead of
+    globally. Keys are batch-major, so a global cap would let frame 0's
+    overflow consume frame 1's budget — at B=2 on real KITTI frames this
+    silently starved slot 1 of conv output sites (x_conv3 split 21461 /
+    10539 against a 2x16000 cap) and zeroed its detections. Per-frame
+    allocation matches the reference, where spconv output sites are
+    unbounded and every *_capacity in this engine is per-frame scaled by B.
 
     A scatter-min first-occurrence dense-table path exists below but
     measured SLOWER than the sort on v5e (TPU scatter-min with collisions
@@ -528,6 +538,23 @@ def _unique_capped(
     first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
     first = first & (skey != INT32_MAX)
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    if batch_size > 1 and cells_per_batch is not None:
+        per_cap = capacity // batch_size
+        bidx = jnp.clip(skey // cells_per_batch, 0, batch_size - 1)
+        # unique count per frame -> start rank of each frame's uniques
+        counts = jnp.zeros((batch_size,), jnp.int32).at[bidx].add(
+            first.astype(jnp.int32)
+        )
+        start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        keep = first & ((rank - start[bidx]) < per_cap)
+        out_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        out = jnp.full((capacity + 1,), INT32_MAX, dtype=jnp.int32)
+        scat = jnp.where(keep, out_rank, capacity)
+        out = out.at[scat].min(jnp.where(keep, skey, INT32_MAX))[:capacity]
+        nnz = keep.sum().astype(jnp.int32)
+        return out, nnz
     out = jnp.full((capacity + 1,), INT32_MAX, dtype=jnp.int32)
     scat = jnp.where(first & (rank < capacity), rank, capacity)
     out = out.at[scat].min(jnp.where(first, skey, INT32_MAX))
@@ -581,8 +608,12 @@ def conv_output_sites(
     cand = jnp.stack([b, out_z, out_y, out_x], axis=-1).reshape(-1, 4)
     cand = jnp.where(ok.reshape(-1)[:, None], cand, -1)
     cand_keys = linear_key(cand, out_shape, st.batch_size)
-    total = st.batch_size * out_shape[0] * out_shape[1] * out_shape[2]
-    keys, nnz = _unique_capped(cand_keys, out_capacity, total_cells=total)
+    cells = out_shape[0] * out_shape[1] * out_shape[2]
+    total = st.batch_size * cells
+    keys, nnz = _unique_capped(
+        cand_keys, out_capacity, total_cells=total,
+        cells_per_batch=cells, batch_size=st.batch_size,
+    )
     coords = key_to_coords(keys, out_shape)
     return keys, coords, nnz, out_shape
 
@@ -634,8 +665,12 @@ def transpose_output_sites(st: SparseTensor, kernel_size, stride, padding, out_c
     cand = jnp.concatenate([b[..., None], out_zyx], axis=-1).reshape(-1, 4)
     cand = jnp.where(inb.reshape(-1)[:, None], cand, -1)
     cand_keys = linear_key(cand, out_shape, st.batch_size)
-    total = st.batch_size * out_shape[0] * out_shape[1] * out_shape[2]
-    keys, nnz = _unique_capped(cand_keys, out_capacity, total_cells=total)
+    cells = out_shape[0] * out_shape[1] * out_shape[2]
+    total = st.batch_size * cells
+    keys, nnz = _unique_capped(
+        cand_keys, out_capacity, total_cells=total,
+        cells_per_batch=cells, batch_size=st.batch_size,
+    )
     coords = key_to_coords(keys, out_shape)
     return keys, coords, nnz, out_shape
 

@@ -338,3 +338,49 @@ def test_keys_are_y_major():
     assert k[0] < k[1]
     back = np.asarray(sparse.key_to_coords(jnp.asarray(k), shape))
     np.testing.assert_array_equal(back, np.asarray(c))
+
+
+def test_output_site_capacity_is_per_frame():
+    """Regression: strided-conv output-site capacity must be allocated per
+    frame. Keys are batch-major, so a GLOBAL cap lets an overfull frame 0
+    consume frame 1's budget (observed at B=2 on real frames: x_conv3
+    split 21461/10539 against a 2x16000 cap, zeroing slot 1's
+    detections)."""
+    nz, ny, nx = 4, 16, 16
+    # frame 0: dense wall of actives (overflows its half of the cap after
+    # stride-2 conv); frame 1: a handful of isolated sites
+    f0 = [(0, z, y, x) for z in range(nz) for y in range(ny) for x in range(nx)]
+    f1 = [(1, 1, 2, 3), (1, 3, 9, 12), (1, 0, 14, 1), (1, 2, 5, 7)]
+    sites = np.array(f0 + f1, np.int32)
+    cap = len(sites)
+    coords = np.full((cap, 4), -1, np.int32)
+    coords[: len(sites)] = sites
+    feats = np.ones((cap, 2), np.float32)
+    st = sparse.from_coords(
+        jnp.asarray(feats), jnp.asarray(coords), (nz, ny, nx), 2
+    )
+    # per-frame budget 32: frame 0 needs 2*8*8=128 sites -> overflows;
+    # frame 1 needs <= 4*8 and must keep ALL of its sites
+    keys, out_coords, nnz, out_shape = sparse.conv_output_sites(
+        st, 3, 2, 1, out_capacity=64
+    )
+    ob = np.asarray(out_coords[:, 0])
+    ok = np.asarray(keys) != sparse.INT32_MAX
+    n0, n1 = (ob[ok] == 0).sum(), (ob[ok] == 1).sum()
+    assert n0 == 32, n0  # frame 0 truncated to ITS half only
+    # every frame-1 output site present (compare vs uncapped run)
+    st1 = sparse.from_coords(
+        jnp.asarray(feats[-10:]),
+        jnp.asarray(
+            np.concatenate(
+                [np.array([[0, z, y, x] for (_, z, y, x) in f1], np.int32),
+                 np.full((6, 4), -1, np.int32)]
+            )
+        ),
+        (nz, ny, nx), 1,
+    )
+    _, _, nnz1, _ = sparse.conv_output_sites(st1, 3, 2, 1, out_capacity=64)
+    assert n1 == int(nnz1), (n1, int(nnz1))
+    # keys stay sorted ascending with INT32_MAX padding
+    k = np.asarray(keys)
+    assert np.all(np.diff(k[ok]) > 0) and np.all(k[~ok] == sparse.INT32_MAX)
