@@ -594,8 +594,11 @@ def audit_overflow(in_keys, qk, win: int, nblocks: int, tile: int,
     kp = jnp.pad(in_keys, (0, NP - N), constant_values=INT32_MAX)
     starts = window_starts(kp, qk, win, tile, nba, nbb)
     ov = span_overflow(kp, qk, starts, win, nba, nbb, tile)
-    # exact required coverage: the widest (group, tile) match-rank span,
-    # in input rows -- tells what NBLOCKS*WIN would make this conv exact
+    # widest (group, tile) match-rank span in input rows. NOTE: this is
+    # an UPPER BOUND on the NBLOCKS*WIN needed -- the kernel's windows
+    # are dual-anchored (two disjoint runs), so a span with a key gap in
+    # the middle can be covered by less than span_max rows. The
+    # zero-overflow assertion (ov) is exact; span_max only guides sizing.
     G, MP, TP = qk.shape
     tiles = MP // tile
     qv = jnp.where(qk < 0, INT32_MAX, qk)
@@ -684,7 +687,15 @@ def cached_qk_conv(out_coords, out_valid, in_spatial_shape, batch_size,
 def fused_subm_conv(st_features, st_coords, st_keys, st_valid, spatial_shape,
                     batch_size, weights, kernel_size, *, T=256, WIN=128, NB=4,
                     cache=None, cache_key=None, interpret=False):
-    """Submanifold conv forward on the fused kernel. Returns (M, CO) f32."""
+    """Submanifold conv forward on the fused kernel. Returns (M, CO) f32.
+
+    NOTE: matches outside the dual-anchored NB*WIN window are silently
+    dropped. The default NB=4 is sized for the audited flagship-config
+    occupancies (in-model callers pass NB explicitly via _PALLAS_SUBM_CFG);
+    external callers with denser inputs must audit with
+    `set_overflow_sink` / `tools/audit_caps.py` (span_overflow == 0) or
+    raise NB.
+    """
     qk, G, TPG = cached_qk_subm(st_coords, st_valid, spatial_shape, batch_size,
                                 kernel_size, T, cache, cache_key)
     return _conv_fwd(st_features, st_keys, qk, weights, G=G, TPG=TPG, T=T,

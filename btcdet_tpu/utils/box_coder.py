@@ -131,7 +131,11 @@ class PreviousResidualDecoder:
         dxg = jnp.exp(lt) * dxa
         dyg = jnp.exp(wt) * dya
         dzg = jnp.exp(ht) * dza
-        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rt + ra], axis=-1)
+        out = jnp.stack([xg, yg, zg, dxg, dyg, dzg, rt + ra], axis=-1)
+        # extras (code_size > 7) decode additively like the reference's
+        # `*cts` tail (box_coder_utils.PreviousResidualDecoder)
+        extra = box_encodings[..., 7:] + anchors[..., 7:]
+        return jnp.concatenate([out, extra], axis=-1)
 
 
 class PreviousResidualRoIDecoder(PreviousResidualDecoder):
@@ -143,7 +147,8 @@ class PreviousResidualRoIDecoder(PreviousResidualDecoder):
     def decode(box_encodings, anchors):
         out = PreviousResidualDecoder.decode(box_encodings, anchors)
         rg = anchors[..., 6] - box_encodings[..., 6]
-        return jnp.concatenate([out[..., :6], rg[..., None]], axis=-1)
+        return jnp.concatenate(
+            [out[..., :6], rg[..., None], out[..., 7:]], axis=-1)
 
 
 class PointResidualCoder:
