@@ -72,3 +72,27 @@ def make_loader(dataset, batch_size: int, shuffle: bool = False,
         collate_fn=collate_fn, drop_last=drop_last, sampler=sampler,
         pin_memory=False,
     )
+
+
+class CachedDataset:
+    """Memoize `dataset[i]` (deep per-item cache). ONLY sound when
+    __getitem__ is deterministic -- i.e. stochastic augmentation is
+    disabled (the overfit proof: tools/overfit_proof.py disables world
+    aug + gt_sampling; the frozen point-shuffle order is irrelevant for
+    memorization). On a 1-core host the augmentor+voxelizer dominate the
+    train step, so epochs >= 2 run at device speed."""
+
+    def __init__(self, dataset):
+        self._ds = dataset
+        self._cache = {}
+
+    def __getitem__(self, i):
+        if i not in self._cache:
+            self._cache[i] = self._ds[i]
+        return self._cache[i]
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)

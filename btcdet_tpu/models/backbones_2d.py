@@ -13,6 +13,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..utils import common
+
 
 class _BN(nn.Module):
     momentum: float = 0.01  # torch convention
@@ -42,6 +44,8 @@ class BaseBEVBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, C) -> (B, H, W, sum(num_upsample_filters))."""
         dt = self.compute_dtype
+        if dt == jnp.bfloat16:
+            dt = common.activation_dtype()
 
         def conv(c, k, s=1):
             return nn.Conv(c, k, strides=s, padding=k[0] // 2,

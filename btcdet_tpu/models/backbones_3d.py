@@ -28,6 +28,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..utils import common
 import numpy as np
 
 from ..ops import sparse
@@ -374,14 +376,14 @@ class _DenseSparseBlock(nn.Module):
             y = nn.ConvTranspose(
                 self.out_channels, self.kernel, strides=self.stride,
                 padding=[(p, p) for p in self.padding], use_bias=False,
-                dtype=jnp.bfloat16,
+                dtype=common.activation_dtype(),
             )(x)
             new_mask = _dilate_mask_transpose(mask, self.kernel, self.stride, self.padding)
         else:
             y = nn.Conv(
                 self.out_channels, self.kernel, strides=self.stride,
                 padding=[(p, p) for p in self.padding], use_bias=False,
-                dtype=jnp.bfloat16,
+                dtype=common.activation_dtype(),
             )(x)
             if self.submanifold:
                 new_mask = mask
@@ -498,7 +500,7 @@ class VoxelBackBoneDeconvRes(nn.Module):
         u2, mu2 = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res4")(u2, mu2, train)
         u1, mu1 = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="deconv5_0")(u2, mu2, train)
         u1, mu1 = _crop_pad_to(u1, mu1, x1.shape[1:4])
-        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=jnp.bfloat16,
+        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=common.activation_dtype(),
                        name="lat1")(x1)
         u1 = jnp.where((mu1 | m1)[..., None], u1 + lat1, 0.0)
         mu1 = mu1 | m1
@@ -546,7 +548,7 @@ class VoxelBackBoneInverseRes(nn.Module):
         # inverse conv back to level 1's exact active set
         u1, _ = _DenseSparseBlock(ch[1], stride=(2, 2, 2), transpose=True, axis_name=self.axis_name, name="inv5")(u2, m2, train)
         u1, _ = _crop_pad_to(u1, m1, x1.shape[1:4])
-        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=jnp.bfloat16,
+        lat1 = nn.Conv(ch[1], (1, 1, 1), use_bias=False, dtype=common.activation_dtype(),
                        name="lat1")(x1)
         u1 = jnp.where(m1[..., None], u1 + lat1, 0.0)
         u1, _ = _DenseResBlock(ch[1], axis_name=self.axis_name, name="res5")(u1, m1, train)

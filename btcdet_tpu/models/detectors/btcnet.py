@@ -192,6 +192,12 @@ class BtcNet(nn.Module):
                 rcnn_corner_weight=rh.LOSS_CONFIG.LOSS_WEIGHTS["rcnn_corner_weight"],
                 code_weights=tuple(rh.LOSS_CONFIG.LOSS_WEIGHTS["code_weights"]),
                 corner_loss=rh.LOSS_CONFIG.get("CORNER_LOSS_REGULARIZATION", True),
+                # parity-study switches (docs/PARITY_RISKS.md): exact
+                # top-k ball/shell queries and f32 activations
+                approx_query=bool(rh.get("APPROX_QUERY", True)),
+                compute_dtype=(jnp.float32 if str(
+                    rh.get("COMPUTE_DTYPE", "bf16")) in ("f32", "fp32", "float32")
+                    else common.activation_dtype()),
                 name="det_roi_head",
             )
             self.nms_cfg_train = rh.NMS_CONFIG.TRAIN

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sparse
+from ..utils import common
 
 
 class HeightCompression:
@@ -20,7 +21,7 @@ class HeightCompression:
         # bf16 scatter: the dense BEV map is ~90 MB/frame in f32 and its
         # only consumer is the bf16 conv pyramid, so densify at bf16 to
         # halve the scatter+read HBM traffic
-        st = st.replace(features=st.features.astype(jnp.bfloat16))
+        st = st.replace(features=st.features.astype(common.activation_dtype()))
         d = st.dense(layout="yzx")  # (B, ny, nz, nx, C): scatter-native
         B, ny, nz, nx, C = d.shape
         return d.transpose(0, 1, 3, 2, 4).reshape(B, ny, nx, nz * C)

@@ -13,6 +13,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def activation_dtype(default=jnp.bfloat16):
+    """Model activation dtype for the bf16 compute paths (BEV scatter,
+    conv pyramid, ConvHead). `BTCDET_F32=1` forces f32 everywhere -- the
+    switch behind the f32-vs-bf16 parity study (docs/PARITY_RISKS.md)."""
+    import os
+
+    if os.environ.get("BTCDET_F32"):
+        return jnp.float32
+    return default
+
+
 def limit_period(val, offset: float = 0.5, period: float = np.pi):
     """Wrap `val` into [-offset*period, (1-offset)*period)."""
     xp = jnp if isinstance(val, jnp.ndarray) else np

@@ -30,6 +30,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("BTCDET_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BTCDET_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
     import torch

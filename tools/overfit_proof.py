@@ -73,6 +73,14 @@ def write_cfg(root: Path, out_cfg: Path):
         "gt_sampling", "random_world_flip", "random_world_rotation",
         "random_world_scaling",
     ]
+    # the synthetic frames carry dense car interiors (4 cars/frame), so
+    # their strided-conv active sets run ~30% past the KITTI-sized level
+    # caps (stage probe: x_conv3 wants ~21.5k/frame vs the 16k test cap);
+    # truncation drops the largest-y sites, which can eat planted cars.
+    d["MODEL"]["BACKBONE_3D"]["LEVEL_CAPACITIES"] = {
+        "train": [36000, 26000, 13000, 10000],
+        "test": [36000, 26000, 13000, 10000],
+    }
     out_cfg.write_text(yaml.safe_dump(d, sort_keys=False))
     return out_cfg
 
@@ -88,9 +96,16 @@ def main():
     args = ap.parse_args()
 
     work = REPO / "output" / "overfit"
-    if args.fresh and work.exists():
+    run_dir = REPO / "output" / "btcdet_overfit"  # cfg.TAG of the written cfg
+    if args.fresh:
         import shutil
-        shutil.rmtree(work)
+        # wipe BOTH the data work dir and the train run dir: train.py
+        # auto-resumes from the newest ckpt, so a stale run dir silently
+        # skips training (auto-resumed epoch >= --epochs) and evaluates
+        # the old model on the new data
+        for p in (work, run_dir):
+            if p.exists():
+                shutil.rmtree(p)
     data_root = work / "data"
     if not (data_root / "kitti_infos_train.pkl").exists():
         print("building synthetic KITTI tree ...", flush=True)
@@ -107,6 +122,7 @@ def main():
         "--ckpt_save_interval", str(args.epochs),
         "--max_ckpt_save_num", "1",
         "--num_epochs_to_eval", "1",
+        "--cache_items",  # aug disabled -> deterministic items
     ]
     print("running:", " ".join(cmd), flush=True)
     proc = subprocess.run(cmd, capture_output=True, text=True)

@@ -14,6 +14,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# tests / CI force the backend via env (the axon TPU plugin overrides
+# JAX_PLATFORMS, so only jax.config reliably selects CPU)
+import os as _os
+if _os.environ.get("BTCDET_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["BTCDET_PLATFORM"])
 import jax.numpy as jnp
 
 from btcdet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file

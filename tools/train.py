@@ -18,6 +18,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# tests / CI force the backend via env (the axon TPU plugin overrides
+# JAX_PLATFORMS, so only jax.config reliably selects CPU)
+import os as _os
+if _os.environ.get("BTCDET_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["BTCDET_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +40,8 @@ def parse_config():
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--cache_items", action="store_true",
+                        help="memoize dataset items (deterministic-aug runs only)")
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--pre_occ", type=str, default=None,
@@ -99,10 +107,16 @@ def make_dataloader(args, cfg, logger):
         root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger,
     )
     bs = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
-    from btcdet_tpu.datasets.loader import make_loader
+    from btcdet_tpu.datasets.loader import CachedDataset, make_loader
 
+    ds_for_loader = dataset
+    if args.cache_items:
+        # sound only with stochastic augmentation disabled (overfit proof)
+        ds_for_loader = CachedDataset(dataset)
+        logger.info("item cache ON (deterministic __getitem__ assumed)")
     dl = make_loader(
-        dataset, bs, shuffle=True, num_workers=args.workers,
+        ds_for_loader, bs, shuffle=True,
+        num_workers=0 if args.cache_items else args.workers,
         collate_fn=dataset.collate_batch, drop_last=True,
     )
     steps = args.steps or len(dl)
