@@ -22,21 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 # XLA CPU compile (the dominant cost on a 1-core CI box). Keyed by host
 # CPU features: CPU-backend entries are AOT machine code and blobs from
 # a different host SIGILL / spray feature-mismatch errors (VERDICT r2
-# weak #6); same scheme as __graft_entry__._enable_compile_cache.
-import hashlib  # noqa: E402
-import platform  # noqa: E402
+# weak #6); keyed by raw CPUID (btcdet_tpu/utils/hostkey.py): the
+# firecracker cpuinfo template is host-invariant, CPUID is not.
+import sys  # noqa: E402
 
-_feats = platform.machine()
-try:
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith("flags"):
-                _feats += " ".join(sorted(_line.split(":")[1].split()))
-                break
-except OSError:
-    pass
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from btcdet_tpu.utils.hostkey import host_cache_tag  # noqa: E402
+
 _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache", hashlib.sha1(_feats.encode()).hexdigest()[:10])
+                      ".jax_cache", host_cache_tag())
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
