@@ -224,11 +224,16 @@ def _map_bev2d(flat_all, flat_params, rest, n_per_block):
         if idx == 0:  # the conv / deconv
             if leaf != "weight":
                 raise MappingError(rest)
-            # stride-1 deblock is a plain 1x1 Conv in both frameworks
+            # stride >= 1 deblocks are ConvTranspose2d in the reference
+            # (base_bev_backbone.py:49-56) -- INCLUDING stride 1, whose
+            # 1x1 ConvTranspose equals our plain 1x1 Conv only after the
+            # (ci,co,kh,kw) -> (kh,kw,ci,co) transpose; mapping it with
+            # the Conv2d (co,ci,...) transform silently transposed the
+            # channel matrix (caught by tests/test_golden_chain.py)
             tgt_conv = ("det_backbone_2d",
                         f"Conv_{conv_base + up_before + convs_per_block}", "kernel")
             if ("params",) + tgt_conv in flat_all:
-                return ("params", tgt_conv, t_conv2d)
+                return ("params", tgt_conv, t_convT2d)
             # otherwise it's the ConvTranspose (numbered by its own counter)
             n_trans_before = sum(
                 1 for _ in range(b))  # assume every earlier deblock was stride 1

@@ -66,3 +66,60 @@ def test_dp_sharded_eval_matches_unsharded():
     out = np.asarray(infer(variables, sharded))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device():
+    """Reference DDP semantics (tools/train.py:166-168): dp training ==
+    single-device training at the same global batch. Under GSPMD the dp
+    step is the SAME jitted program partitioned over devices, so the
+    updated params/loss must match a single-device run numerically
+    (tolerance = float reassociation across partitions; BN batch_stats
+    are global-batch means either way, i.e. SyncBN semantics)."""
+    import jax.numpy as jnp
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
+    data_cfg = mini_data_cfg(with_occ=False)
+    model_cfg = mini_model_cfg(with_occ=False)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
+        data_cfg, batch_size=n, num_points=512, num_gt=2).items()}
+    state, tx = trainer.create_train_state(
+        net, batch, jax.random.PRNGKey(0),
+        det_opt_cfg=mini_opt_cfg(0.01), occ_opt_cfg=None, total_steps=4,
+    )
+
+    single_step = jax.jit(trainer.make_train_step(net, tx))
+    rng = jax.random.PRNGKey(1)
+    ref_state, ref_metrics = single_step(state, batch, rng)
+
+    dp_step = trainer.make_data_parallel_train_step(net, tx, mesh)
+    dp_state, dp_metrics = dp_step(state, trainer.shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-4, atol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    flat_dp = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(dp_state.params)}
+    # tolerance note: GSPMD partitions the SAME program, but reduction
+    # reassociation perturbs near-zero grads, and Adam's m/(sqrt(v)+eps)
+    # normalizes every grad to an O(lr)=1e-2 step -- so a handful of
+    # elements legitimately move by a few 1e-3 (measured: 7/4096 at
+    # 2e-3 on one kernel). A semantic dp bug (wrong mean/psum scale)
+    # would shift ~every element by O(lr); atol=3e-3 still catches that.
+    for k, v in flat_ref:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_dp[ks], np.float32), np.asarray(v, np.float32),
+            rtol=0, atol=3e-3, err_msg=ks)
+    for k, v in jax.tree_util.tree_leaves_with_path(ref_state.batch_stats):
+        ks = jax.tree_util.keystr(k)
+        dpv = dict((jax.tree_util.keystr(kk), vv) for kk, vv in
+                   jax.tree_util.tree_leaves_with_path(dp_state.batch_stats))[ks]
+        # running means are near-zero sums of O(1) values: sqrt(N)*eps
+        # reassociation noise (~2e-4 at N~1e5) dominates them, so the
+        # check is absolute; variances are positive sums and stay tight
+        np.testing.assert_allclose(
+            np.asarray(dpv, np.float32), np.asarray(v, np.float32),
+            rtol=2e-2, atol=1e-3, err_msg="batch_stats " + ks)
