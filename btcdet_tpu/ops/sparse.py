@@ -541,13 +541,15 @@ def _unique_capped(
     if batch_size > 1 and cells_per_batch is not None:
         per_cap = capacity // batch_size
         bidx = jnp.clip(skey // cells_per_batch, 0, batch_size - 1)
-        # unique count per frame -> start rank of each frame's uniques
-        counts = jnp.zeros((batch_size,), jnp.int32).at[bidx].add(
-            first.astype(jnp.int32)
+        # start rank of each frame's uniques: keys are sorted batch-major,
+        # so frame boundaries are searchsorted positions (a TPU scatter-add
+        # into batch_size bins serializes on its ~8N collisions)
+        bounds = jnp.arange(batch_size, dtype=jnp.int32) * jnp.int32(
+            cells_per_batch
         )
-        start = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-        )
+        pos = jnp.searchsorted(skey, bounds, side="left")
+        csum = rank + 1  # unique count among skey[:i+1]
+        start = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
         keep = first & ((rank - start[bidx]) < per_cap)
         out_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
         out = jnp.full((capacity + 1,), INT32_MAX, dtype=jnp.int32)
