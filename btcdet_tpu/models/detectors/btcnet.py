@@ -85,11 +85,20 @@ class BtcNet(nn.Module):
         if self.use_occ:
             from ...config import CfgBox
 
+            # fused merge+VFE: valid only for the OccVFE reduction; an
+            # explicit OCC_PNT_UPDATE.FUSED_VFE=False restores the
+            # materialized merged point table (e.g. for debugging)
+            fused_nrf = 0
+            if mc.VFE.NAME == "OccVFE" and bool(
+                mc.OCC.OCC_PNT_UPDATE.get("FUSED_VFE", True)
+            ):
+                fused_nrf = int(self.num_point_features)
             self.occ = occ_subnet.OccSubnet(
                 model_cfg=CfgBox(mc.OCC),
                 data_cfg=self.data_cfg,
                 point_cloud_range=self.point_cloud_range,
                 axis_name=self.axis_name,
+                fused_vfe_nrf=fused_nrf,
                 name="occ_subnet",
             )
             self.occ_code_num = int(self.data_cfg.OCC.get("CODE_NUM_DIM", 2))
@@ -244,7 +253,7 @@ class BtcNet(nn.Module):
             occ_out = self.occ(batch, train=train)
             out.update({f"occ_{k}": v for k, v in occ_out.items() if k.startswith("loss") or k.startswith("metric")})
             # PassOccVox: merge predicted occ points into the det voxel set
-            voxels = occ_out["det_voxels"]
+            voxels = occ_out.get("det_voxels")  # absent under fused VFE
             voxel_coords = occ_out["det_voxel_coords"]
             voxel_num_points = occ_out["det_voxel_num_points"]
             occ_pnts = occ_out["occ_points"]            # (B, Q, 4+) xyz + prob
@@ -271,7 +280,11 @@ class BtcNet(nn.Module):
             voxel_coords = batch["voxel_coords"]
             voxel_num_points = batch["voxel_num_points"]
 
-        if isinstance(self.det_vfe, vfe.OccVFE) and self.use_occ:
+        if self.use_occ and "det_voxel_features" in occ_out:
+            # fused merge+VFE already reduced the merged table
+            voxel_features = occ_out["det_voxel_features"]
+            occ_code = occ_out["det_occ_code"]
+        elif isinstance(self.det_vfe, vfe.OccVFE) and self.use_occ:
             voxel_features, occ_code = self.det_vfe(voxels, voxel_num_points)
         else:
             voxel_features = self.det_vfe(voxels, voxel_num_points)

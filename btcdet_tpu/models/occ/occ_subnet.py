@@ -135,6 +135,11 @@ class OccSubnet(nn.Module):
     det_voxel_size: tuple = (0.05, 0.05, 0.1)
     det_max_points_merged: int = 8
     axis_name: str | None = None
+    # >0 = emit fused merge+OccVFE features (`det_voxel_features` /
+    # `det_occ_code`, value = num_raw_features) instead of the
+    # materialized merged point table; set by the detector when its VFE
+    # is OccVFE (models/detectors/btcnet.py)
+    fused_vfe_nrf: int = 0
 
     def setup(self):
         self.spec = T.build_grid_spec(self.data_cfg)
@@ -338,8 +343,10 @@ class OccSubnet(nn.Module):
         self._pass_occ_vox(batch, out, masked_prob, res_pred, rot_z, B, train)
 
         if not self.pass_grad:
-            for k in ("det_voxels", "occ_points"):
-                out[k] = jax.lax.stop_gradient(out[k])
+            for k in ("det_voxels", "det_voxel_features", "det_occ_code",
+                      "occ_points"):
+                if k in out:
+                    out[k] = jax.lax.stop_gradient(out[k])
         return out
 
     # ------------------------------------------------------------ targets
@@ -674,36 +681,55 @@ class OccSubnet(nn.Module):
                 occ_lo=spec.point_cloud_range[:3], occ_vs=spec.voxel_size,
                 occ_grid=spec.grid_size, coord_type=spec.coord_type,
             )
-        det_vox6 = jnp.concatenate([
-            det_vox_b,
-            jnp.zeros(det_vox_b.shape[:-1] + (C6 - Cd,), det_vox_b.dtype),
-        ], axis=-1)
-        # pad point slots Pd -> Pd_m (extra slots receive occ points)
-        det_vox6 = jnp.concatenate([
-            det_vox6,
-            jnp.zeros((B, per_frame_vox, Pd_m - Pd, C6), det_vox6.dtype),
-        ], axis=2)
         det_coords_b = det_coords.reshape(B, per_frame_vox, 4)
         det_numc = det_numc_pre
 
-        merge_fn = {
-            "v1": voxelizer.merge_points_into_voxels,
-            "v2": voxelizer.merge_points_into_voxels_v2,  # single-sort
-        }[self.model_cfg.OCC_PNT_UPDATE.get("MERGE_IMPL", "v1")]
-        merge = functools.partial(
-            merge_fn,
-            grid_size=(nxd, nyd, nzd), lo=lo, vs=vs,
-            extra=extra, max_points=Pd_m,
-        )
-        vox, num, coords_zyx, row_valid = jax.vmap(merge)(
-            det_vox6, det_coords_b, det_numc, merge_pts, merge_valid
-        )
+        if self.fused_vfe_nrf > 0:
+            # fused merge + OccVFE (ops/voxelizer.py): the merged point
+            # table's only consumer is the det VFE reduction, so skip
+            # materializing it and scatter per-voxel sums/counts/maxes
+            fused = functools.partial(
+                voxelizer.merge_points_into_voxel_features,
+                grid_size=(nxd, nyd, nzd), lo=lo, vs=vs,
+                extra=extra, max_points=Pd_m,
+                num_raw_features=self.fused_vfe_nrf,
+            )
+            feat, occ_code, num, coords_zyx, row_valid = jax.vmap(fused)(
+                det_vox_b, det_coords_b, det_numc, merge_pts, merge_valid
+            )
+            out["det_voxel_features"] = jnp.where(
+                row_valid[..., None], feat, 0.0).reshape(B * merged_cap, -1)
+            out["det_occ_code"] = jnp.where(
+                row_valid[..., None], occ_code, 0.0).reshape(B * merged_cap, -1)
+        else:
+            det_vox6 = jnp.concatenate([
+                det_vox_b,
+                jnp.zeros(det_vox_b.shape[:-1] + (C6 - Cd,), det_vox_b.dtype),
+            ], axis=-1)
+            # pad point slots Pd -> Pd_m (extra slots receive occ points)
+            det_vox6 = jnp.concatenate([
+                det_vox6,
+                jnp.zeros((B, per_frame_vox, Pd_m - Pd, C6), det_vox6.dtype),
+            ], axis=2)
+
+            merge_fn = {
+                "v1": voxelizer.merge_points_into_voxels,
+                "v2": voxelizer.merge_points_into_voxels_v2,  # single-sort
+            }[self.model_cfg.OCC_PNT_UPDATE.get("MERGE_IMPL", "v1")]
+            merge = functools.partial(
+                merge_fn,
+                grid_size=(nxd, nyd, nzd), lo=lo, vs=vs,
+                extra=extra, max_points=Pd_m,
+            )
+            vox, num, coords_zyx, row_valid = jax.vmap(merge)(
+                det_vox6, det_coords_b, det_numc, merge_pts, merge_valid
+            )
+            out["det_voxels"] = vox.reshape(B * merged_cap, Pd_m, -1)
 
         bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32)[:, None], merged_cap, axis=1)
         bcol = jnp.where(row_valid[..., None], bidx[..., None], -1)
         coords_zyx = jnp.where(row_valid[..., None], coords_zyx, -1)
         coords4 = jnp.concatenate([bcol, coords_zyx], axis=-1).reshape(B * merged_cap, 4)
-        out["det_voxels"] = vox.reshape(B * merged_cap, Pd_m, -1)
         out["det_voxel_coords"] = coords4
         out["det_voxel_num_points"] = jnp.where(
             row_valid, num, 0).reshape(B * merged_cap)

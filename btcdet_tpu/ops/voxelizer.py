@@ -333,6 +333,183 @@ def merge_points_into_voxels_v2(
     return vox, num, coords_zyx, row_valid
 
 
+def merge_points_into_voxel_features(
+    dvox: jax.Array, dcoords: jax.Array, dnum: jax.Array,
+    opts: jax.Array, ovalid: jax.Array,
+    *, grid_size: tuple, lo: jax.Array, vs: jax.Array,
+    extra: int, max_points: int, num_raw_features: int,
+):
+    """Fused merge + OccVFE: same point-selection semantics as
+    `merge_points_into_voxels_v2` followed by `vfe.OccVFE`, but the
+    merged (Nd+extra, max_points, C6) point table is never materialized
+    -- per-voxel sums/counts/maxes are accumulated directly with
+    scatter ops. This removes the merge path's HBM bottleneck (padding
+    det point slots Pd -> max_points and scattering whole point rows,
+    ~3 MB/frame x several passes) since the only downstream consumer of
+    the merged table is the reduction itself
+    (`models/detectors/btcnet.py:274`, reference `occ_vfe.py`).
+
+    dvox: (Nd, Pd, Cd) existing det voxels (slots beyond dnum zero,
+    trailing C6-Cd channels implicitly zero => every det point is a
+    "raw" point under OccVFE's last-channel < 0.05 test); dcoords:
+    (Nd, 4) (b, z, y, x) key-sorted, -1 pad; dnum: (Nd,); opts: (K, C6)
+    new points (xyz leading, occ-code tail); ovalid: (K,).
+
+    Returns (features (Nd+extra, num_raw_features + ncode),
+    occ_code (Nd+extra, ncode), num, coords_zyx, row_valid). Voxel
+    membership, slot capping and coords are bitwise those of v2; the
+    features match OccVFE on the materialized table up to f32
+    reassociation of the per-voxel sums.
+    """
+    nxd, nyd, nzd = grid_size
+    Nd, Pd, Cd = dvox.shape
+    nrf = num_raw_features
+    C6 = opts.shape[-1]
+    ncode = C6 - nrf
+    assert Cd <= nrf + ncode and ncode >= 1
+    Pd_m = max_points
+    dz, dy, dx = dcoords[:, 1], dcoords[:, 2], dcoords[:, 3]
+    dvalid = dcoords[:, 0] >= 0
+    dkey = jnp.where(
+        dvalid, (dz * nyd + dy) * nxd + dx, INT32_MAX
+    ).astype(jnp.int32)
+
+    c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
+    inr = (
+        (c[:, 0] >= 0) & (c[:, 0] < nxd)
+        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
+        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
+    )
+    ok = ovalid & inr
+    okey = jnp.where(
+        ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
+    ).astype(jnp.int32)
+
+    K = okey.shape[0]
+
+    # ---- gather-formulated reduction over the occ-only sorted array --
+    # TPU scatters serialize on index collisions (many occ points share a
+    # voxel), so instead of scatter-adds into output rows: sort only the
+    # K new points by key, detect hits by binary search into the ALREADY
+    # key-sorted det table, reduce with ONE fused segmented scan (sums
+    # reset at each new key; per-voxel f32 error stays at segment scale,
+    # unlike global cumsum differences whose ulp is set by the ~1e6
+    # prefix magnitude), and gather each output row's value at its
+    # segment END. All searchsorted calls use method='sort' (one bitonic
+    # pass; the default per-query binary-search gather chains are ~3x
+    # slower on TPU).
+    order = jnp.argsort(okey, stable=True)
+    sk = okey[order]
+    sp = opts[order]
+    pos = jnp.arange(K, dtype=jnp.int32)
+
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    slot = pos - seg_start  # within-cell rank, in point order
+    live = sk != INT32_MAX
+
+    il = jnp.clip(
+        jnp.searchsorted(dkey, sk, method="sort"), 0, Nd - 1).astype(jnp.int32)
+    hit = (dkey[il] == sk) & live
+    ridx = il
+
+    dest_slot = dnum[ridx] + slot
+    keep_h = hit & (dest_slot < Pd_m)
+    miss_head = live & ~hit & first
+    nrank = jnp.cumsum(miss_head.astype(jnp.int32)) - 1
+    keep_m = ~hit & live & (nrank >= 0) & (nrank < extra) & (slot < Pd_m)
+    kept = keep_h | keep_m
+
+    # OccVFE class split by the point's own last channel (occ_vfe.py)
+    is_occ_pt = sp[:, -1] >= 0.05
+    w_raw = (kept & ~is_occ_pt).astype(sp.dtype)
+    w_occ = (kept & is_occ_pt).astype(sp.dtype)
+    head = sp[:, :nrf]
+    tail = sp[:, nrf:]
+    NEG = jnp.asarray(-3.0e38, sp.dtype)
+
+    # fused scan channels: [sum: head*w_raw | head*w_occ | w_raw | w_occ]
+    # + [max: tail]; counts ride as f32 (exact up to 2^24 >> K)
+    nsum = 2 * nrf + 2
+    scan_in = jnp.concatenate([
+        head * w_raw[:, None], head * w_occ[:, None],
+        w_raw[:, None], w_occ[:, None],
+        jnp.where(kept[:, None], tail, NEG),
+    ], axis=1)
+
+    def seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        keep_b = bf[:, None]
+        s = bv[:, :nsum] + jnp.where(keep_b, 0.0, av[:, :nsum])
+        m = jnp.where(keep_b, bv[:, nsum:],
+                      jnp.maximum(av[:, nsum:], bv[:, nsum:]))
+        return jnp.concatenate([s, m], axis=1), af | bf
+
+    g, _ = jax.lax.associative_scan(seg_op, (scan_in, first), axis=0)
+
+    # per-position segment end: (next segment head) - 1, reverse min-scan
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(first, pos, K), reverse=True)
+    seg_end_at = jnp.concatenate(
+        [nxt[1:], jnp.array([K], nxt.dtype)]) - 1  # (K,)
+
+    # miss-cell keys: nrank is nondecreasing along the sorted array, so
+    # the i-th miss segment head sits at searchsorted(cumsum(miss), i+1)
+    cms = jnp.cumsum(miss_head.astype(jnp.int32))
+    head_pos = jnp.clip(
+        jnp.searchsorted(cms, jnp.arange(1, extra + 1, dtype=jnp.int32),
+                         method="sort"), 0, K - 1).astype(jnp.int32)
+    ekey = jnp.where(jnp.arange(extra) < cms[-1], sk[head_pos], INT32_MAX)
+    epad = ekey == INT32_MAX
+
+    # det row r's occ segment (if any) starts where its key inserts
+    dl = jnp.clip(
+        jnp.searchsorted(sk, dkey, method="sort"), 0, K - 1).astype(jnp.int32)
+    dhas = (sk[dl] == dkey) & dvalid
+
+    rend = seg_end_at[jnp.concatenate([dl, head_pos])]
+    rzero = jnp.concatenate([~dhas, epad])  # rows with no occ contributions
+    rvals = g[jnp.clip(rend, 0, K - 1)]
+    sum_raw = jnp.where(rzero[:, None], 0.0, rvals[:, :nrf])
+    sum_occ = jnp.where(rzero[:, None], 0.0, rvals[:, nrf:2 * nrf])
+    cnt_raw = jnp.where(rzero, 0, rvals[:, 2 * nrf].astype(jnp.int32))
+    cnt_occ = jnp.where(rzero, 0, rvals[:, 2 * nrf + 1].astype(jnp.int32))
+    tail_max = jnp.where(rzero[:, None], NEG, rvals[:, nsum:])
+
+    # det-side contribution: all det points are raw, tails are zero
+    dmask = (jnp.arange(Pd, dtype=jnp.int32)[None, :] < dnum[:, None]) & dvalid[:, None]
+    det_sum = jnp.where(dmask[..., None], dvox[..., :nrf], 0.0).sum(axis=1)
+    det_cnt = jnp.where(dvalid, dnum, 0).astype(jnp.int32)
+    det_pad = jnp.zeros((extra, nrf), det_sum.dtype)
+    sum_raw = sum_raw + jnp.concatenate([det_sum, det_pad])
+    raw_n = cnt_raw + jnp.concatenate([det_cnt, jnp.zeros((extra,), jnp.int32)])
+    # voxels with >=1 det point see that point's zero tail in the max
+    has_det_pt = jnp.concatenate([det_cnt > 0, jnp.zeros((extra,), bool)])
+    tail_max = jnp.where(has_det_pt[:, None], jnp.maximum(tail_max, 0.0), tail_max)
+    occ_code = jnp.where(tail_max <= NEG / 2, 0.0, tail_max)
+
+    f = sum_raw.dtype
+    f_raw = sum_raw / jnp.clip(raw_n[:, None].astype(f), 1.0, None)
+    f_occ = sum_occ / jnp.clip(cnt_occ[:, None].astype(f), 1.0, None)
+    occ_only = (cnt_occ > 0) & (raw_n < 1)
+    feat_head = f_raw + occ_only[:, None].astype(f) * f_occ
+    features = jnp.concatenate([feat_head, occ_code], axis=-1)
+
+    num = raw_n + cnt_occ
+    ez = ekey // (nyd * nxd)
+    ey = (ekey - ez * (nyd * nxd)) // nxd
+    ex = ekey - ez * (nyd * nxd) - ey * nxd
+    ecoords = jnp.stack([
+        jnp.where(epad, -1, ez), jnp.where(epad, -1, ey),
+        jnp.where(epad, -1, ex),
+    ], axis=-1).astype(jnp.int32)
+
+    coords_zyx = jnp.concatenate([dcoords[:, 1:4], ecoords], axis=0)
+    row_valid = jnp.concatenate([dvalid, ~epad], axis=0)
+    return features, occ_code, num, coords_zyx, row_valid
+
+
 _NATIVE_LIB = None
 _NATIVE_TRIED = False
 

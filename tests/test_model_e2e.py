@@ -124,3 +124,32 @@ def test_clamp_dropout_useocc_gate():
         mutable=["batch_stats"],
     )
     assert np.isfinite(float(out2["loss"]))
+
+
+def test_fused_vfe_matches_materialized_model():
+    """The fused merge+VFE path (OCC_PNT_UPDATE.FUSED_VFE, default on)
+    must reproduce the materialized merge -> OccVFE model outputs: same
+    boxes to f32 reassociation tolerance (ops/voxelizer.py
+    merge_points_into_voxel_features)."""
+    data_cfg = mini_data_cfg(with_occ=True)
+    batch = None
+    outs = {}
+    for fused in (True, False):
+        model_cfg = mini_model_cfg(with_occ=True)
+        model_cfg["OCC"]["OCC_PNT_UPDATE"]["FUSED_VFE"] = fused
+        net = build_network(model_cfg, data_cfg, ["Car"])
+        if batch is None:
+            batch = to_jnp(make_synthetic_batch(
+                data_cfg, batch_size=2, num_points=4096, num_gt=4))
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        variables = net.init(rngs, batch, train=False)
+        outs[fused] = net.apply(variables, batch, train=False)
+    a, b = outs[True], outs[False]
+    np.testing.assert_allclose(
+        np.asarray(a["rpn_box_preds"]), np.asarray(b["rpn_box_preds"]),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(a["batch_box_preds"]), np.asarray(b["batch_box_preds"]),
+        rtol=2e-3, atol=2e-3)

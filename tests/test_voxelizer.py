@@ -244,3 +244,87 @@ def test_merge_v2_matches_v1_bitwise():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"trial {trial}: {name}")
+
+
+def test_fused_merge_vfe_matches_materialized():
+    """merge_points_into_voxel_features must equal materialized
+    merge_points_into_voxels_v2 (point slots padded to max_points, det
+    channels zero-padded to the occ payload width) followed by OccVFE --
+    same coords/num/row_valid bitwise, features to f32 reassociation
+    tolerance. Exercises hit-slot overflow, extra-block overflow and
+    occ payloads whose last channel classifies them as raw (< 0.05)."""
+    import jax.numpy as jnp
+
+    from btcdet_tpu.models import vfe as vfe_mod
+
+    pcr = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+    vs = (0.5, 0.5, 0.5)
+    nx, ny, nz = voxelizer.compute_grid_size(pcr, vs)
+
+    for trial in range(6):
+        r = np.random.RandomState(100 + trial)
+        n_det = r.choice([60, 200, 400])
+        mp = r.choice([4, 6, 8])          # merged slot cap
+        pd = min(int(mp) - 1, 4)          # det table slot width < cap
+        extra = r.choice([8, 60, 150])
+        K = r.choice([80, 300])
+        nrf, ncode = 4, 2                 # [x y z inten] + [prob flag]
+
+        base = np.concatenate([
+            r.uniform((0, -8, -3), (16, 8, 1), (600, 3)),
+            r.rand(600, 1)], 1).astype(np.float32)
+        res = voxelizer.voxelize(
+            jnp.asarray(base), jnp.ones(600, bool),
+            point_cloud_range=pcr, voxel_size=vs,
+            max_points=int(pd), max_voxels=int(n_det))
+        coords4 = np.concatenate([
+            np.where(np.asarray(res.coords[:, :1]) >= 0, 0, -1),
+            np.asarray(res.coords)], axis=1).astype(np.int32)
+
+        new = np.concatenate([
+            r.uniform((-2, -10, -4), (18, 10, 2), (K, 3)),
+            np.full((K, 1), 0.37),             # default inten
+            r.rand(K, 1),                      # prob
+            np.ones((K, 1))], 1).astype(np.float32)
+        # a fifth of the occ payloads classify as raw (last ch < 0.05)
+        raw_rows = r.rand(K) < 0.2
+        new[raw_rows, 4:] = 0.0
+        occ = np.asarray(res.coords[np.asarray(res.num_points) > 0])
+        if len(occ):
+            sel = occ[r.randint(0, len(occ), K // 2)]
+            new[:K // 2, :3] = np.stack([
+                (sel[:, 2] + 0.5) * vs[0] + pcr[0],
+                (sel[:, 1] + 0.5) * vs[1] + pcr[1],
+                (sel[:, 0] + 0.5) * vs[2] + pcr[2]], 1)
+        valid = r.rand(K) > 0.15
+
+        kw = dict(grid_size=(nx, ny, nz), lo=jnp.asarray(pcr[:3], jnp.float32),
+                  vs=jnp.asarray(vs, jnp.float32), extra=int(extra),
+                  max_points=int(mp))
+
+        # materialized path: pad det channels 4 -> 6, slots pd -> mp
+        dvox6 = np.zeros((int(n_det), int(mp), nrf + ncode), np.float32)
+        dvox6[:, :pd, :nrf] = np.asarray(res.voxels)
+        vox, num, coords_zyx, row_valid = voxelizer.merge_points_into_voxels_v2(
+            jnp.asarray(dvox6), jnp.asarray(coords4), res.num_points,
+            jnp.asarray(new), jnp.asarray(valid), **kw)
+        ref_feat, ref_code = vfe_mod.OccVFE(num_raw_features=nrf)(
+            vox, jnp.where(row_valid, num, 0))
+
+        feat, code, num_f, coords_f, valid_f = (
+            voxelizer.merge_points_into_voxel_features(
+                res.voxels, jnp.asarray(coords4), res.num_points,
+                jnp.asarray(new), jnp.asarray(valid),
+                num_raw_features=nrf, **kw))
+
+        np.testing.assert_array_equal(np.asarray(coords_zyx), np.asarray(coords_f))
+        np.testing.assert_array_equal(np.asarray(row_valid), np.asarray(valid_f))
+        np.testing.assert_array_equal(
+            np.asarray(num), np.asarray(num_f), err_msg=f"trial {trial}")
+        rv = np.asarray(row_valid)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(ref_feat) * rv, np.asarray(feat) * rv,
+            rtol=1e-5, atol=1e-6, err_msg=f"trial {trial}: features")
+        np.testing.assert_allclose(
+            np.asarray(ref_code) * rv, np.asarray(code) * rv,
+            rtol=1e-5, atol=1e-6, err_msg=f"trial {trial}: occ_code")

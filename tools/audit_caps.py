@@ -96,6 +96,8 @@ def main(n_frames=4, mode="test"):
     n_frames = int(n_frames)
     is_train = mode == "train"
     cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    # these diagnostics inspect the materialized merged point table
+    cfg.MODEL.OCC.OCC_PNT_UPDATE["FUSED_VFE"] = False
     lc = cfg.MODEL.BACKBONE_3D.get("LEVEL_CAPACITIES")
     if hasattr(lc, "get") and not isinstance(lc, (list, tuple)):
         lc = lc.get(mode)

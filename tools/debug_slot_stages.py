@@ -33,6 +33,8 @@ def main():
 
     run = Path("output/btcdet_overfit/overfit")
     cfg_from_yaml_file(str(run / "btcdet_overfit.yaml"), cfg)
+    # these diagnostics inspect the materialized merged point table
+    cfg.MODEL.OCC.OCC_PNT_UPDATE["FUSED_VFE"] = False
     logger = create_logger(None)
     dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
                            root_path=cfg.DATA_CONFIG.DATA_PATH, logger=logger)

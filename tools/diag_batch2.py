@@ -31,6 +31,8 @@ def coord_set(coords, b):
 
 def main():
     cfg_from_yaml_file("output/overfit/btcdet_overfit.yaml", cfg)
+    # these diagnostics inspect the materialized merged point table
+    cfg.MODEL.OCC.OCC_PNT_UPDATE["FUSED_VFE"] = False
     dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
                            root_path=cfg.DATA_CONFIG.DATA_PATH)
     net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)

@@ -105,7 +105,7 @@ def main(mode="test", batch_size=1):
     @jax.jit
     def occ_only(v, b):
         out = net.apply(v, b, train=False, method=lambda m, bb, train: m.occ(bb, train=train))
-        return out["det_voxels"]
+        return out.get("det_voxel_features", out.get("det_voxels"))
 
     timeit("occ subnet (+merge)", occ_only, variables, batch, iters=3)
 
@@ -142,30 +142,34 @@ def main(mode="test", batch_size=1):
     def merged_inputs(v, b):
         def run(m, bb, train):
             o = m.occ(bb, train=train)
-            return o["det_voxels"], o["det_voxel_coords"], o["det_voxel_num_points"]
+            if "det_voxel_features" in o:  # fused merge+VFE path
+                vfeat, occ_code = o["det_voxel_features"], o["det_occ_code"]
+            else:
+                vfeat, occ_code = m.det_vfe(
+                    o["det_voxels"], o["det_voxel_num_points"])
+            return vfeat, occ_code, o["det_voxel_coords"]
         return net.apply(v, b, train=False, method=run)
 
-    mv, mc, mn = merged_inputs(variables, batch)
+    mv, mo, mc = merged_inputs(variables, batch)
     b2 = dict(batch)
-    b2["det_voxels"], b2["det_voxel_coords"], b2["det_voxel_num_points"] = mv, mc, mn
+    b2["det_vfeat"], b2["det_occ_code"], b2["det_voxel_coords"] = mv, mo, mc
 
     @jax.jit
     def det_backbone(v, b):
         def run(m, b, train):
-            vfeat, occ_code = m.det_vfe(b["det_voxels"], b["det_voxel_num_points"])
             st = sparse.from_coords(
-                vfeat, b["det_voxel_coords"], (nz, ny, nx), b["det_voxels"].shape[0]
+                b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), batch_size
             )
-            return m.backbone_3d(st, occ_code, train=train)["encoded"].features
+            return m.backbone_3d(st, b["det_occ_code"], train=train)["encoded"].features
         return net.apply(v, b, train=False, method=run)
 
     timeit("det 3D backbone (merged vox)", det_backbone, variables, b2, iters=3)
 
     # --- split rulebook construction vs gather-GEMM compute -------------
     def _run_backbone(m, b, train, cache):
-        vfeat, occ_code = m.det_vfe(b["det_voxels"], b["det_voxel_num_points"])
-        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
-        out = m.backbone_3d(st, occ_code, train=train, cache=cache)
+        st = sparse.from_coords(
+            b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), 1)
+        out = m.backbone_3d(st, b["det_occ_code"], train=train, cache=cache)
         return out["encoded"].features
 
     static_store = {}  # name -> (static vals, is_array mask); filled at trace time
@@ -226,8 +230,7 @@ def main(mode="test", batch_size=1):
 
     @jax.jit
     def rulebook_only(b):
-        vfeat = b["det_voxels"].sum(1)
-        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
+        st = sparse.from_coords(b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), 1)
         idx, found = sparse.subm_rulebook(st, 3)
         return idx.sum() + found.sum()
 
@@ -235,8 +238,7 @@ def main(mode="test", batch_size=1):
 
     @jax.jit
     def conv_sites(b):
-        vfeat = b["det_voxels"].sum(1)
-        st = sparse.from_coords(vfeat, b["det_voxel_coords"], (nz, ny, nx), 1)
+        st = sparse.from_coords(b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), 1)
         keys, coords, nnz, shape = sparse.conv_output_sites(st, 3, 2, 1, st.capacity)
         return keys.sum()
 

@@ -25,6 +25,8 @@ from btcdet_tpu.ops import sparse  # noqa: F401
 
 def main(n_frames=8, mode="test", caps=None):
     cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    # these diagnostics inspect the materialized merged point table
+    cfg.MODEL.OCC.OCC_PNT_UPDATE["FUSED_VFE"] = False
     if caps:  # e.g. "80000,80000,60000,40000" to measure true (uncapped) counts
         cfg.MODEL.BACKBONE_3D.LEVEL_CAPACITIES = [int(c) for c in caps.split(",")]
         print("level caps override:", cfg.MODEL.BACKBONE_3D.LEVEL_CAPACITIES)
