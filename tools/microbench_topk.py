@@ -39,14 +39,50 @@ def timeit(name, fn, *args, iters=20):
     print(f"{name:44s} {(time.perf_counter()-t0)/iters*1000:8.2f} ms", flush=True)
 
 
+def compact_nonzero(sel, K):
+    """E: pure compaction of nonzero cells into K slots (no selection).
+
+    Exact top-k SET equality whenever the per-row nonzero count <= K
+    (the realistic eval case: ~5-20k cells above EVAL_OCC_THRESH vs the
+    40000 cap); the caller must guard the count>K case. Two-level
+    matmul cumsum (minor-axis cumsum lowers poorly on TPU) + one
+    unique-index scatter."""
+    B, N = sel.shape
+    W = 128
+    R = -(-N // W)
+    nz = (sel > 0)
+    x = jnp.pad(nz.astype(jnp.float32), ((0, 0), (0, R * W - N))).reshape(B, R, W)
+    within = jax.lax.dot_general(
+        x, jnp.triu(jnp.ones((W, W), jnp.float32)),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # inclusive within-row cumsum
+    totals = within[..., -1]                      # (B, R)
+    offs = jnp.cumsum(totals, axis=1) - totals    # exclusive row offsets
+    c = (within + offs[..., None]).reshape(B, R * W)[:, :N]
+    pos = jnp.where(nz, c.astype(jnp.int32) - 1, K)
+    pos = jnp.minimum(pos, K)  # count>K rows overflow into the sink slot
+    cell = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    idx = jnp.zeros((B, K + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], pos
+    ].set(cell, mode="drop", unique_indices=True)[:, :K]
+    count = c[:, -1].astype(jnp.int32)
+    valid = jnp.arange(K, dtype=jnp.int32)[None] < jnp.minimum(count, K)[:, None]
+    vals = jnp.where(valid, jnp.take_along_axis(sel, idx, axis=1), 0.0)
+    return vals, idx, valid
+
+
 def main():
-    B, N, K = 1, 9 * 157 * 209, 40000
+    B, N, K = 8, 9 * 157 * 209, 40000
     rng = np.random.RandomState(0)
     # ~30% of cells above threshold, like an occluded-region prob map
     probs = rng.uniform(0, 1, (B, N)).astype(np.float32)
     sel_np = np.where(probs > 0.7, probs, 0.0)
     sel = jnp.asarray(sel_np)
-    print(f"nonzero per frame: {(sel_np > 0).sum(1)}")
+    # realistic eval occupancy: ~12k cells above EVAL_OCC_THRESH=0.57
+    sel_lo_np = np.where(probs > 1.0 - 12000.0 / N, probs, 0.0)
+    sel_lo = jnp.asarray(sel_lo_np)
+    print(f"nonzero per frame: {(sel_np > 0).sum(1)} / lo {(sel_lo_np > 0).sum(1)}")
 
     @jax.jit
     def f_argsort(s):
@@ -65,16 +101,29 @@ def main():
 
     f_radix = jax.jit(functools.partial(capped_nonzero_top_k, k=K))
 
+    f_compact = jax.jit(functools.partial(compact_nonzero, K=K))
+
     timeit("A argsort+take", f_argsort, sel)
     timeit("B lax.top_k", f_topk, sel)
+    timeit("B lax.top_k (12k nz)", f_topk, sel_lo)
     timeit("C approx_max_k", f_approx, sel)
     timeit("D radix-select compaction", f_radix, sel)
+    timeit("E cumsum-compaction (79k nz, overflow)", f_compact, sel)
+    timeit("E cumsum-compaction (12k nz)", f_compact, sel_lo)
+
+    # correctness: E's selected set == nonzero set when count <= K
+    pv, iv, vv = jax.device_get(f_compact(sel_lo))
+    for b in range(B):
+        got = np.sort(iv[b][vv[b]])
+        want = np.flatnonzero(sel_lo_np[b])
+        assert got.shape == want.shape and (got == want).all(), b
+    print("E set-exact on 12k-nz rows")
 
     # correctness: D's selected set == exact top-K set (up to tie band)
     pv, iv, valid = jax.device_get(f_radix(sel))
     exact_p, _ = jax.device_get(f_topk(sel))
-    nsel = int(valid.sum())
-    nz = int((sel_np > 0).sum())
+    nsel = int(valid[0].sum())
+    nz = int((sel_np[0] > 0).sum())
     assert nsel == min(K, nz), (nsel, nz)
     got = np.sort(pv[0][valid[0]])[::-1]
     want = exact_p[0][: len(got)]
