@@ -115,6 +115,21 @@ def assign_targets_single_class(
     return labels, reg_targets, reg_mask
 
 
+def get_direction_target(anchors, reg_targets, dir_offset: float,
+                         num_dir_bins: int):
+    """Direction-bin targets (reference
+    `anchor_head_template.py:get_direction_target:148-163`): recover gt
+    heading = anchor heading + rot residual, shift by dir_offset, bin
+    over [0, 2pi). Golden-pinned against the executed reference in
+    tests/test_golden_reference.py."""
+    rot_gt = reg_targets[..., 6] + anchors[..., 6]
+    offset_rot = common.limit_period(rot_gt - dir_offset, 0, 2 * np.pi)
+    return jnp.clip(
+        jnp.floor(offset_rot / (2 * np.pi / num_dir_bins)).astype(jnp.int32),
+        0, num_dir_bins - 1,
+    )
+
+
 class AnchorHeadSingle(nn.Module):
     """1x1-conv RPN head over BEV features + target assignment + losses.
 
@@ -258,12 +273,8 @@ class AnchorHeadSingle(nn.Module):
         total = cls_loss + loc_loss
         if self.use_direction_classifier and "dir_preds" in out:
             anchors = jnp.asarray(self.anchors)
-            # gt heading = anchor heading + rot residual target
-            rot_gt = reg_targets[..., 6] + anchors[None, :, 6]
-            offset_rot = common.limit_period(rot_gt - self.dir_offset, 0, 2 * np.pi)
-            dir_targets = jnp.clip(
-                jnp.floor(offset_rot / (2 * np.pi / self.num_dir_bins)).astype(jnp.int32),
-                0, self.num_dir_bins - 1,
+            dir_targets = get_direction_target(
+                anchors[None], reg_targets, self.dir_offset, self.num_dir_bins
             )
             dir_onehot = jax.nn.one_hot(dir_targets, self.num_dir_bins, dtype=cls_preds.dtype)
             dir_loss = loss_utils.weighted_cross_entropy(

@@ -70,9 +70,22 @@ def global_roi_grid_points(rois, grid_size, dim_times: float = 1.0):
 
 
 class _BN1d(nn.Module):
+    """Masked BatchNorm1d. Defaults (eps 1e-3, momentum 0.01) match the
+    reference backbone norm_fn used by the xc conv stack
+    (`conv_head.py:16,126`); the FC trunk instances pass torch
+    BatchNorm1d DEFAULTS (eps 1e-5, momentum 0.1) because the reference
+    `make_fc_layers` (`roi_head_template.py:29-43`) and
+    `create_shared_fc` (`conv_head.py:155-167`) construct bare
+    `nn.BatchNorm1d` — golden-pinned by tests/test_golden_chain.py."""
+
+    momentum: float = 0.01
+    epsilon: float = 1e-3
+
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        return sparse.MaskedBatchNorm()(x, mask, use_running_average=not train)
+        return sparse.MaskedBatchNorm(
+            momentum=self.momentum, epsilon=self.epsilon
+        )(x, mask, use_running_average=not train)
 
 
 class ConvHead(nn.Module):
@@ -196,6 +209,11 @@ class ConvHead(nn.Module):
 
         out = jnp.concatenate([f.astype(self.compute_dtype) for f in feats], axis=-1)
         C = out.shape[-1]
+        # GRID-MAJOR flatten (row j = g*C + c). The reference flattens
+        # C-major ((BN, C, G).view(BN, C*G, 1), conv_head.py:374-379);
+        # ref_import.t_fc_pooled reorders the first FC's input axis to
+        # compensate — golden-pinned by tests/test_golden_chain.py. Keep
+        # the two in sync if this layout ever changes.
         out = out.reshape(B * N, G * C)
 
         h = out
@@ -203,7 +221,8 @@ class ConvHead(nn.Module):
         for i, c in enumerate(self.shared_fc):
             h = nn.Dense(c, use_bias=False, dtype=self.compute_dtype,
                          name=f"shared_fc_{i}")(h)
-            h = _BN1d(name=f"shared_bn_{i}")(h, mask_bn, train)
+            h = _BN1d(momentum=0.1, epsilon=1e-5,
+                      name=f"shared_bn_{i}")(h, mask_bn, train)
             h = nn.relu(h)
             if i != len(self.shared_fc) - 1 and self.dp_ratio > 0:
                 h = nn.Dropout(self.dp_ratio, deterministic=not train)(h)
@@ -212,7 +231,8 @@ class ConvHead(nn.Module):
             for i, c in enumerate(fcs):
                 x = nn.Dense(c, use_bias=False, dtype=self.compute_dtype,
                              name=f"{name}_{i}")(x)
-                x = _BN1d(name=f"{name}_bn_{i}")(x, mask_bn, train)
+                x = _BN1d(momentum=0.1, epsilon=1e-5,
+                          name=f"{name}_bn_{i}")(x, mask_bn, train)
                 x = nn.relu(x)
                 if i == 0 and self.dp_ratio > 0:
                     x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)

@@ -78,6 +78,34 @@ def t_copy(w):
     return np.asarray(w)
 
 
+# ConvHead pooled-grid size (3x3x3, MODEL.ROI_HEAD.CONV_GRID_POOL
+# GRID_SIZE in the flagship yaml). Needed by t_fc_pooled; override via
+# map_reference_state(roi_grid_num=...) for non-flagship grids.
+ROI_GRID_NUM = 27
+
+
+def t_fc_pooled(grid_num: int):
+    """First rcnn FC layer: the reference consumes the pooled roi grid
+    flattened C-MAJOR ((BN, G, C) -> permute -> (BN, C*G, 1) view,
+    reference conv_head.py:372-379), while our ConvHead flattens
+    GRID-MAJOR ((B*N, G*C), models/roi_heads/conv_head.py). The two
+    layouts have identical shapes, so the manifest test cannot see the
+    difference — importing with plain t_fc silently permutes the input
+    axis of a (6480, 256) matrix. Reorder torch (co, C*G) so row
+    j = g*C + c of the Dense kernel reads torch column c*G + g.
+    Golden-pinned by tests/test_golden_chain.py (executed reference)."""
+
+    def t(w):
+        w = np.asarray(w)
+        co, cin = w.shape[0], w.shape[1]
+        assert cin % grid_num == 0, (cin, grid_num)
+        C = cin // grid_num
+        w = w.reshape(co, C, grid_num).transpose(0, 2, 1).reshape(co, cin)
+        return w.T
+
+    return t
+
+
 # ---------------------------------------------------------------- name rules
 
 # det 3D backbone: reference attribute -> (ours, number of sub-blocks)
@@ -281,7 +309,12 @@ def _map_roi(flat_all, flat_params, rest):
         # BN@5, ReLU@6, final Conv1d@7 (heads only)
         stage = {0: 0, 4: 1}.get(idx)
         if stage is not None and leaf == "weight":
-            return ("params", ("det_roi_head", f"{fc}_{stage}", "kernel"), t_fc)
+            # shared_fc_layer.0 consumes the pooled grid: fix the
+            # C-major -> grid-major input-axis interleave (t_fc_pooled
+            # docstring). Later stages see plain channel vectors.
+            tr = (t_fc_pooled(ROI_GRID_NUM)
+                  if name == "shared_fc_layer" and idx == 0 else t_fc)
+            return ("params", ("det_roi_head", f"{fc}_{stage}", "kernel"), tr)
         bn_stage = {1: 0, 5: 1}.get(idx)
         if bn_stage is not None:
             if leaf == "num_batches_tracked":

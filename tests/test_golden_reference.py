@@ -178,14 +178,14 @@ class TestHeadEncodings:
         np.testing.assert_allclose(got2, _a(self.fx["sin_diff_b2"]), rtol=1e-5)
 
     def test_direction_target(self):
+        # exercises the MODEL's code path (anchor_head.get_direction_target),
+        # not a re-derivation, against the executed-reference fixture
+        from btcdet_tpu.models.dense_heads.anchor_head import get_direction_target
+
         anchors = _a(self.fx["anchors"]).reshape(2, -1, 7)
         regt = _a(self.fx["reg_targets"])
-        rot_gt = regt[..., 6] + anchors[..., 6]
-        offset_rot = common.limit_period(
-            rot_gt - self.fx["dir_offset"], 0, 2 * np.pi)
-        bins = np.clip(
-            np.floor(offset_rot / (2 * np.pi / self.fx["num_bins"])),
-            0, self.fx["num_bins"] - 1).astype(np.int32)
+        bins = np.asarray(get_direction_target(
+            anchors, regt, self.fx["dir_offset"], self.fx["num_bins"]))
         onehot = np.eye(self.fx["num_bins"], dtype=np.float32)[bins]
         np.testing.assert_array_equal(onehot, _a(self.fx["dir_onehot"]))
 

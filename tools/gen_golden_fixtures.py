@@ -379,8 +379,142 @@ def dense_chain_fixtures(rng):
     print(f"wrote {CHAIN_OUT} ({CHAIN_OUT.stat().st_size/1024:.0f} KiB)")
 
 
+ROI_FC_OUT = REPO / "tests" / "fixtures" / "golden_roi_fc.npz"
+OCC_HEAD_OUT = REPO / "tests" / "fixtures" / "golden_occ_head.npz"
+
+
+def _build_reference_model():
+    """Construct the FULL reference BtcNet on CPU (flagship yaml; CUDA
+    extension modules stubbed — only dense-torch submodules execute)."""
+    from extract_reference_manifest import _FakeDataset
+
+    tools_dir = REFERENCE / "tools"
+    cwd = os.getcwd()
+    os.chdir(tools_dir)  # _BASE_CONFIG_ resolves relative to tools/
+    try:
+        from btcdet.config import cfg, cfg_from_yaml_file
+
+        cfg_from_yaml_file(
+            str(tools_dir / "cfgs" / "model_configs" / "btcdet_kitti_car.yaml"),
+            cfg)
+        from btcdet.models import build_network
+
+        ds = _FakeDataset(cfg, cfg.CLASS_NAMES)
+        return build_network(
+            model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=ds)
+    finally:
+        os.chdir(cwd)
+
+
+def _randomize(module, rng_seed: int):
+    """Non-degenerate weights + perturbed BN stats so the chained math
+    (incl. running-stat normalization) is actually exercised."""
+    import torch.nn as tnn
+
+    torch.manual_seed(rng_seed)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, (tnn.Conv1d, tnn.Conv2d, tnn.Conv3d)):
+                m.weight.normal_(0, 0.08)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d, tnn.BatchNorm3d)):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.1)
+
+
+def roi_fc_chain_fixtures(rng, model):
+    """EXECUTE the reference ConvHead rcnn tail (VERDICT r3 next #10):
+    pooled roi-grid features -> shared_fc_layer -> cls/reg Conv1d stacks
+    (reference conv_head.py:372-379,474-477; all pure dense torch) ->
+    generate_predicted_boxes decode (:427-455). The pooled input is
+    saved in OUR (BN, G, C) grid-major layout and the reference is fed
+    its own C-major view, so the fixture pins the t_fc_pooled interleave
+    in ref_import as well as the FC/BN math and the roi decode."""
+    rh = model.det_modules.roi_head
+    _randomize(rh, 13)
+    rh.eval()
+    G = rh.grid_num
+    c_in = rh.shared_fc_layer[0].weight.shape[1]
+    assert c_in % G == 0, (c_in, G)
+    C = c_in // G
+    B, N = 2, 6
+    pooled_gc = rng.randn(B * N, G, C).astype(np.float32)  # OUR layout
+    # reference layout: (BN, G, C) -> view(BN, z,y,x, C) -> permute to
+    # (BN, C, z,y,x) -> view(BN, C*G, 1)  (conv_head.py:374,379)
+    pooled_cg = torch.from_numpy(
+        pooled_gc.transpose(0, 2, 1).reshape(B * N, C * G, 1).copy())
+    rois = np.concatenate([
+        rng.uniform([0, -20, -2], [60, 20, 0], (B, N, 3)),
+        rng.uniform([3.2, 1.4, 1.3], [4.5, 1.8, 1.8], (B, N, 3)),
+        rng.uniform(-np.pi, np.pi, (B, N, 1)),
+    ], axis=-1).astype(np.float32)
+    with torch.no_grad():
+        h = rh.shared_fc_layer(pooled_cg)
+        rcnn_cls = rh.cls_layers(h).transpose(1, 2).contiguous().squeeze(1)
+        rcnn_reg = rh.reg_layers(h).transpose(1, 2).contiguous().squeeze(1)
+        batch_cls, batch_boxes = rh.generate_predicted_boxes(
+            B, torch.from_numpy(rois), rcnn_cls, rcnn_reg)
+    sd = {
+        "det_modules.roi_head." + k: v.numpy()
+        for k, v in rh.state_dict().items()
+        if k.startswith(("shared_fc_layer", "cls_layers", "reg_layers"))
+    }
+    arrays = {
+        "pooled": pooled_gc, "rois": rois,
+        "rcnn_cls": _np(rcnn_cls), "rcnn_reg": _np(rcnn_reg),
+        "batch_cls_preds": _np(batch_cls), "batch_box_preds": _np(batch_boxes),
+    }
+    arrays.update({"sd::" + k: v for k, v in sd.items()})
+    np.savez_compressed(ROI_FC_OUT, **arrays)
+    print(f"wrote {ROI_FC_OUT} ({ROI_FC_OUT.stat().st_size/1024:.0f} KiB)")
+
+
+def occ_head_fixtures(rng, model):
+    """Occ dense head golden chain (VERDICT r3 next #10). The reference
+    OccHead3D conv_cls/conv_res are SubMConv3d (occ_head_3D.py:25-31);
+    spconv cannot execute on CPU, but submanifold conv on a dense
+    zero-padded grid restricted to active sites IS a dense conv masked
+    to active sites, so torch.conv3d on the stubbed (kz,ky,kx,ci,co)
+    weights executes the identical math — pinning the t_dense3d layout
+    contract and our dense masked formulation at every active site."""
+    import torch.nn.functional as F
+
+    oh = model.occ_modules.occ_dense_head
+    w_cls = rng.randn(*oh.conv_cls[0].weight.shape).astype(np.float32) * 0.1
+    b_cls = rng.randn(oh.conv_cls[0].weight.shape[-1]).astype(np.float32) * 0.05
+    sd = {"occ_modules.occ_dense_head.conv_cls.0.weight": w_cls,
+          "occ_modules.occ_dense_head.conv_cls.0.bias": b_cls}
+    has_res = hasattr(oh, "conv_res")
+    if has_res:
+        w_res = rng.randn(*oh.conv_res[0].weight.shape).astype(np.float32) * 0.1
+        sd["occ_modules.occ_dense_head.conv_res.0.weight"] = w_res
+    ci = w_cls.shape[3]
+    Z, Y, X = 4, 8, 10
+    mask = (rng.uniform(0, 1, (1, Z, Y, X)) < 0.3).astype(np.float32)
+    x = rng.randn(1, Z, Y, X, ci).astype(np.float32) * mask[..., None]
+
+    def subm(w, b):
+        # stub layout (kz,ky,kx,ci,co) -> torch conv3d (co,ci,kz,ky,kx)
+        wt = torch.from_numpy(np.ascontiguousarray(w.transpose(4, 3, 0, 1, 2)))
+        xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 4, 1, 2, 3)))
+        out = F.conv3d(xt, wt, torch.from_numpy(b) if b is not None else None,
+                       padding=1)
+        return _np(out).transpose(0, 2, 3, 4, 1) * mask[..., None]
+
+    arrays = {"x": x, "mask": mask, "out_cls": subm(w_cls, b_cls)}
+    if has_res:
+        arrays["out_res"] = subm(w_res, None)
+    arrays.update({"sd::" + k: v for k, v in sd.items()})
+    np.savez_compressed(OCC_HEAD_OUT, **arrays)
+    print(f"wrote {OCC_HEAD_OUT} ({OCC_HEAD_OUT.stat().st_size/1024:.0f} KiB)")
+
+
 def main():
     install_stubs()
+    sys.path.insert(0, str(REPO / "tools"))
     sys.path.insert(0, str(REFERENCE))
     torch.manual_seed(0)
     rng = np.random.RandomState(42)
@@ -395,6 +529,9 @@ def main():
             "occ_occlusion": occ_occlusion_fixtures(rng),
         }
         dense_chain_fixtures(rng)
+        model = _build_reference_model()
+        roi_fc_chain_fixtures(rng, model)
+        occ_head_fixtures(rng, model)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(fx))
     print(f"wrote {OUT} ({OUT.stat().st_size/1024:.0f} KiB)")

@@ -69,7 +69,9 @@ def make_inputs(rng, B=1, N=100, P=16384, Q=40000, cap=20480, C=128,
 
 def main():
     rng = np.random.RandomState(0)
-    inp = make_inputs(rng)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    Q = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    inp = make_inputs(rng, B=B, Q=Q, cap=20480 * max(1, B // 2))
 
     for label, sources in [
         ("full (xc+raw+occ)", ("x_combine", "raw_points", "occ_points")),

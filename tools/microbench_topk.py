@@ -60,12 +60,18 @@ def compact_nonzero(sel, K):
     totals = within[..., -1]                      # (B, R)
     offs = jnp.cumsum(totals, axis=1) - totals    # exclusive row offsets
     c = (within + offs[..., None]).reshape(B, R * W)[:, :N]
+    # zero cells and count>K overflow go to index K, which is OUT OF
+    # BOUNDS for the (B, K) buffer so mode="drop" discards them -- the
+    # remaining in-range indices are genuinely unique (c is a strict
+    # running count over nonzero cells), so unique_indices=True is
+    # sound (advisor r3: a shared in-bounds sink slot made them
+    # non-unique, documented UB)
     pos = jnp.where(nz, c.astype(jnp.int32) - 1, K)
-    pos = jnp.minimum(pos, K)  # count>K rows overflow into the sink slot
+    pos = jnp.minimum(pos, K)
     cell = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-    idx = jnp.zeros((B, K + 1), jnp.int32).at[
+    idx = jnp.zeros((B, K), jnp.int32).at[
         jnp.arange(B)[:, None], pos
-    ].set(cell, mode="drop", unique_indices=True)[:, :K]
+    ].set(cell, mode="drop", unique_indices=True)
     count = c[:, -1].astype(jnp.int32)
     valid = jnp.arange(K, dtype=jnp.int32)[None] < jnp.minimum(count, K)[:, None]
     vals = jnp.where(valid, jnp.take_along_axis(sel, idx, axis=1), 0.0)

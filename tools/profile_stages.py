@@ -22,6 +22,25 @@ from btcdet_tpu.ops import sparse
 from btcdet_tpu.models import vfe as vfe_mod
 
 
+# v5e single-chip peaks for the roofline columns (public spec:
+# 197 TFLOP/s bf16 on the MXU, 819 GB/s HBM bandwidth)
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBS = 819.0
+COST = os.environ.get("PROFILE_COST", "") == "1"
+
+
+def _cost_analysis(compiled):
+    """flops + bytes from XLA's cost model for a compiled executable
+    (VERDICT r3 next #8: make 'near SOL' a measurement, not a claim)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
 def timeit(name, fn, *args, iters=5):
     # fetch a SCALAR, not the stage output: device_get of a multi-MB
     # array pays ~4.8 ms/MB tunnel transfer and corrupts the timing
@@ -30,18 +49,40 @@ def timeit(name, fn, *args, iters=5):
         leaves = jax.tree_util.tree_leaves(fn(*a))
         return sum(l.sum().astype(jnp.float32) for l in leaves if hasattr(l, "dtype"))
 
+    flops = byts = 0.0
+    if COST:
+        compiled = red.lower(*args).compile()
+        flops, byts = _cost_analysis(compiled)
+        red = compiled
+
     _ = jax.device_get(red(*args))  # compile+sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = red(*args)
     _ = jax.device_get(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:30s} {dt*1000:9.1f} ms", flush=True)
+    if COST and (flops or byts):
+        tf = flops / dt / 1e12
+        gbs = byts / dt / 1e9
+        # roofline: attainable TFLOP/s at this arithmetic intensity
+        ai = flops / max(byts, 1.0)
+        attain = min(PEAK_BF16_TFLOPS, ai * PEAK_HBM_GBS / 1e3)
+        print(f"{name:30s} {dt*1000:9.1f} ms  {flops/1e9:8.1f} GF "
+              f"{byts/1e9:7.2f} GB  {tf:6.2f} TF/s ({100*tf/PEAK_BF16_TFLOPS:4.1f}% MXU) "
+              f"{gbs:6.1f} GB/s ({100*gbs/PEAK_HBM_GBS:4.1f}% HBM) "
+              f"{100*tf/max(attain,1e-9):5.1f}% of roofline", flush=True)
+    else:
+        print(f"{name:30s} {dt*1000:9.1f} ms", flush=True)
     return out
 
 
-def main(mode="test", batch_size=1):
+def main(mode="test", batch_size=1, occ_vox_cap=0, det_vox_cap=0):
     cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    for proc in cfg.DATA_CONFIG.DATA_PROCESSOR:
+        if occ_vox_cap and proc.NAME == "transform_points_to_sphere_voxels":
+            proc.MAX_NUMBER_OF_VOXELS[mode] = occ_vox_cap
+        if det_vox_cap and proc.NAME == "det_transform_points_to_voxels":
+            proc.MAX_NUMBER_OF_VOXELS[mode] = det_vox_cap
     net = build_network(cfg.MODEL, cfg.DATA_CONFIG, cfg.CLASS_NAMES)
     batch = {k: jnp.asarray(v) for k, v in make_synthetic_batch(
         cfg.DATA_CONFIG, batch_size, 16384, 10, mode=mode).items()}
@@ -270,4 +311,6 @@ def main(mode="test", batch_size=1):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "test",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)
