@@ -133,7 +133,7 @@ def main():
         raise SystemExit(f"train/eval failed rc={proc.returncode}")
 
     losses = [float(m) for m in re.findall(r"\bloss=([0-9.]+)", log)]
-    aps = dict(re.findall(r"(Car_3d/\w+_R40)[=: ]+([0-9.]+)", log))
+    aps = dict(re.findall(r"(Car_(?:3d|bev|image|aos)/\w+_R40)[=: ]+([0-9.]+)", log))
     summary = {
         "epochs": args.epochs,
         "frames": args.frames,
