@@ -37,27 +37,44 @@ def proposal_layer(
 ) -> Proposals:
     """batch_box_preds: (B, A, 7); batch_cls_preds: (B, A, C).
 
-    Frames are processed in a static Python loop, NOT vmap: the chunked
-    NMS early-exits through `lax.cond`, and vmap would lower the cond to
-    a select that executes every chunk (measured 4+ s/step at the
-    reference's train-time pre=9000).
+    Small pre-sizes (eval, k <= 2048) use the rounds NMS vmapped over
+    frames: its fori_loop has no per-frame cond, so vmap batches each of
+    the `nms_post` rounds across B instead of running B sequential loops
+    (8x fewer sequential dispatches; measured tools/microbench_nms.py).
+    Large pre-sizes (train pre=9000) keep the static Python loop with
+    the chunked NMS: its early-exit runs through `lax.cond`, and vmap
+    would lower the cond to a select that executes every chunk (measured
+    4+ s/step at the reference's train-time pre=9000).
     """
     B, A, C = batch_cls_preds.shape
     if batch_valid is None:
         batch_valid = jnp.ones((B, A), bool)
 
-    outs = []
-    for b in range(B):
-        boxes = batch_box_preds[b]
-        cls_preds = batch_cls_preds[b]
-        scores = cls_preds.max(axis=-1)
-        labels = cls_preds.argmax(axis=-1).astype(jnp.int32) + 1
-        idx, keep = iou3d.nms_rotated(
-            boxes, scores, batch_valid[b],
-            thresh=nms_thresh, pre_max_size=nms_pre, post_max_size=nms_post,
-        )
-        outs.append((boxes[idx], scores[idx], labels[idx], keep))
-    rois, scores, labels, valid = (jnp.stack(x) for x in zip(*outs))
+    if min(nms_pre, A) <= 2048:
+        scores = batch_cls_preds.max(axis=-1)
+        labels = batch_cls_preds.argmax(axis=-1).astype(jnp.int32) + 1
+        idx, valid = jax.vmap(
+            lambda bb, ss, vv: iou3d.nms_rotated(
+                bb, ss, vv, thresh=nms_thresh, pre_max_size=nms_pre,
+                post_max_size=nms_post, impl="rounds")
+        )(batch_box_preds, scores, batch_valid)
+        take = jax.vmap(lambda a, i: a[i])
+        rois, scores, labels = (take(batch_box_preds, idx), take(scores, idx),
+                                take(labels, idx))
+    else:
+        outs = []
+        for b in range(B):
+            boxes = batch_box_preds[b]
+            cls_preds = batch_cls_preds[b]
+            scores = cls_preds.max(axis=-1)
+            labels = cls_preds.argmax(axis=-1).astype(jnp.int32) + 1
+            idx, keep = iou3d.nms_rotated(
+                boxes, scores, batch_valid[b],
+                thresh=nms_thresh, pre_max_size=nms_pre,
+                post_max_size=nms_post,
+            )
+            outs.append((boxes[idx], scores[idx], labels[idx], keep))
+        rois, scores, labels, valid = (jnp.stack(x) for x in zip(*outs))
     rois = jnp.where(valid[..., None], rois, 0.0)
     # the reference proposal layer runs under no_grad
     # (roi_head_template.py:45): rois are constants to the rcnn stage

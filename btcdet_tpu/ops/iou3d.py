@@ -175,6 +175,47 @@ def _select_first_kept(keep, top_idx, post_max_size: int):
     return out_idx, out_val
 
 
+def _greedy_nms_rounds(top_boxes, top_valid, top_idx, thresh: float,
+                       post_max_size: int, top_scores=None):
+    """Greedy NMS over DESCENDING-score-sorted candidates with sequential
+    depth `post_max_size` instead of `pre_max_size`: each round keeps the
+    first still-live candidate (= highest-scoring unsuppressed box, since
+    the input is score-sorted) and kills its overlap row, computed on the
+    fly -- no (k, k) IoU matrix, no per-candidate loop. Exactly the
+    greedy result: every kept box is by construction the best-scored box
+    not suppressed by a previously kept one, and greedy never returns
+    more than post_max_size survivors by definition of the caller's cap
+    (reference `nms_gpu` keeps post_max via slicing the keep list)."""
+    k = top_boxes.shape[0]
+    iota = jnp.arange(k, dtype=jnp.int32)
+    if top_scores is not None:
+        neg_inf = jnp.finfo(top_scores.dtype).min
+
+    def body(r, carry):
+        alive, out_idx, out_valid = carry
+        if top_scores is None:
+            i = jnp.argmax(alive).astype(jnp.int32)  # first live candidate
+        else:  # unsorted candidates: pick best live score directly
+            i = jnp.argmax(
+                jnp.where(alive, top_scores, neg_inf)).astype(jnp.int32)
+        got = alive[i]
+        bi = jax.lax.dynamic_slice(top_boxes, (i, 0), (1, 7))
+        row = boxes_iou_bev(bi, top_boxes)[0] > thresh
+        alive = alive & ~row & (iota != i)
+        out_idx = out_idx.at[r].set(jnp.where(got, top_idx[i], 0))
+        out_valid = out_valid.at[r].set(got)
+        return alive, out_idx, out_valid
+
+    out_idx = jnp.zeros((post_max_size,), jnp.int32)
+    out_valid = jnp.zeros((post_max_size,), bool)
+    # greedy can never keep more than k survivors: cap the rounds when
+    # post_max_size exceeds the candidate count (final NMS: post 500 over
+    # 100 rois)
+    _, out_idx, out_valid = jax.lax.fori_loop(
+        0, min(post_max_size, k), body, (top_valid, out_idx, out_valid))
+    return out_idx, out_valid
+
+
 def nms_rotated(
     boxes: jax.Array,
     scores: jax.Array,
@@ -184,6 +225,8 @@ def nms_rotated(
     pre_max_size: int,
     post_max_size: int,
     chunk_size: int = 256,
+    impl: str = "auto",
+    pre_select: str = "sort",
 ):
     """Rotated-BEV NMS (reference `nms_gpu` semantics: suppress by BEV IoU
     of the 7-dof boxes, descending score order).
@@ -192,19 +235,48 @@ def nms_rotated(
     Returns (indices (post_max_size,) int32 into the input, valid_out
     (post_max_size,) bool).
 
-    Large pre-sizes are processed hierarchically in descending-score
-    chunks: each chunk is first suppressed against the survivors found so
-    far, then greedily NMS'd internally. This is exactly the greedy
-    result (suppression only ever comes from higher-scored survivors) but
-    needs O(N * chunk) pair IoUs instead of O(N^2) -- the reference's
-    train-time pre=9000 would otherwise cost 81M rotated-IoU pairs.
+    impl="rounds" (default): survivor-paced greedy -- post_max_size
+    sequential rounds, each keeping the best live candidate and
+    suppressing its on-the-fly IoU row; O(post * k) pair IoUs and
+    sequential depth post instead of k.
+
+    impl="chunked": descending-score chunks, each first suppressed
+    against the survivors found so far then greedily NMS'd internally;
+    O(k * (chunk + post)) pair IoUs, sequential depth ~k. Kept for A/B
+    comparison; both are exactly the greedy result.
+
+    pre_select="radix" (rounds impl only) replaces the O(N log N)
+    `lax.top_k` pre-selection with an exact radix-select of the top-k
+    SET (`ops.topk.top_k_set`); the rounds loop then picks per-round
+    maxima by score directly, so no sort happens at all. Same survivor
+    set up to score-tie ordering (both are index-arbitrary at ties).
     """
     neg_inf = jnp.finfo(scores.dtype).min
     s = jnp.where(valid, scores, neg_inf)
     k = min(pre_max_size, boxes.shape[0])
+    if impl == "auto":
+        # measured (tools/microbench_nms.py, v5e): rounds wins/ties at
+        # eval-scale k (sequential depth post << k) but loses ~11x at
+        # train's k=9000 (per-round 1-vs-9000 IoU rows pay HBM round
+        # trips 256 times); chunked amortizes those into 256-wide tiles
+        impl = "rounds" if k <= 2048 else "chunked"
+
+    if impl == "rounds" and pre_select == "radix":
+        from . import topk as topk_mod
+
+        idx, got = topk_mod._row_top_k_set(s, valid, k)
+        return _greedy_nms_rounds(
+            boxes[idx], got, idx, thresh, post_max_size,
+            top_scores=jnp.where(got, s[idx], neg_inf))
+
     top_scores, top_idx = jax.lax.top_k(s, k)
     top_valid = top_scores > neg_inf
     top_boxes = boxes[top_idx]
+
+    if impl == "rounds":
+        return _greedy_nms_rounds(
+            top_boxes, top_valid, top_idx.astype(jnp.int32), thresh,
+            post_max_size)
 
     if k <= max(chunk_size, 2 * post_max_size):
         iou = _chunked_pairwise(boxes_iou_bev, top_boxes, top_boxes, chunk=min(128, k))

@@ -83,6 +83,23 @@ def _row_select(sel, k):
     return vals, idx, valid
 
 
+def _row_compact_nonzero(sel, k):
+    """All-nonzero compaction in scan order; correct only when the row's
+    nonzero count <= k (guarded by the caller's cond)."""
+    n = sel.shape[0]
+    nz = sel > 0
+    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    oob = jnp.int32(k + 1)
+    pos = jnp.where(nz & (pos < k), pos, oob)
+    idx = jnp.zeros((k,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    n_sel = jnp.minimum(jnp.sum(nz, dtype=jnp.int32), k)
+    valid = jnp.arange(k, dtype=jnp.int32) < n_sel
+    vals = jnp.where(valid, sel[idx], 0.0)
+    return vals, idx, valid
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def capped_nonzero_top_k(sel, k):
     """Top-k nonzero entries per row of sel (B, N), sel >= 0.
@@ -91,5 +108,78 @@ def capped_nonzero_top_k(sel, k):
     beyond the per-row nonzero count are zero/invalid. Equivalent to
     ``lax.top_k`` + ``>0`` masking up to a 2^-17-relative tie band at
     the rank-k boundary (see module docstring).
-    """
-    return jax.vmap(lambda s: _row_select(s, k))(sel)
+
+    Fast path: when NO row's nonzero count exceeds k (the common case —
+    reference eval caps are sized with large headroom over real
+    occupancy), selection degenerates to "keep every nonzero cell" and
+    the radix passes are skipped entirely; a batch-level `lax.cond`
+    picks the path on device. Selected sets are identical either way
+    (order differs; every consumer is order-invariant, see module
+    docstring)."""
+    counts = jnp.sum(sel > 0, axis=1)
+    return jax.lax.cond(
+        jnp.all(counts <= k),
+        lambda s: jax.vmap(lambda r: _row_compact_nonzero(r, k))(s),
+        lambda s: jax.vmap(lambda r: _row_select(r, k))(s),
+        sel,
+    )
+
+
+def _signed_monotone_key(x):
+    """Bitcast f32 -> int32 key with the same total order as the floats
+    (negatives reversed by xor with 0x7fffffff; -inf/-nan sort lowest)."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
+
+
+def _row_top_k_set(x, valid, k):
+    """EXACT top-k set of a signed f32 row (N,) via 4x8-bit radix select
+    on the monotone key -- no O(N log N) sort. Ties at the rank-k
+    boundary are broken in scan order (``lax.top_k`` breaks them by
+    index too, though not necessarily the same way). Returns
+    (idx (k,) int32, got (k,) bool): strictly-above-boundary indices in
+    scan order followed by boundary ties (NOT score order -- callers
+    needing score order sort the k survivors, cheap for k << N)."""
+    n = x.shape[0]
+    keys = _signed_monotone_key(x)
+
+    n_hi = jnp.float32(0.0)
+    rem = jnp.float32(k)
+    in_band = valid                       # == threshold prefix so far
+    gt = jnp.zeros_like(valid)            # > threshold prefix so far
+    for shift in (24, 16, 8, 0):
+        digit = (keys >> shift) & 0xFF
+        if shift == 24:
+            digit = digit ^ 0x80  # signed high byte -> unsigned rank
+        h = _histogram256(digit, in_band)
+        cnt_gt = jnp.sum(h) - jnp.cumsum(h)
+        j = jnp.argmax(cnt_gt < rem).astype(jnp.int32)
+        n_hi = n_hi + cnt_gt[j]
+        rem = rem - cnt_gt[j]
+        gt = gt | (in_band & (digit > j))
+        in_band = in_band & (digit == j)
+
+    # after 4 passes in_band is exact key equality at the boundary
+    hi = gt
+    eq = in_band
+
+    pos_hi = jnp.cumsum(hi.astype(jnp.int32)) - 1
+    pos_eq = n_hi.astype(jnp.int32) + jnp.cumsum(eq.astype(jnp.int32)) - 1
+    oob = jnp.int32(k + 1)
+    pos = jnp.where(hi, pos_hi, jnp.where(eq & (pos_eq < k), pos_eq, oob))
+
+    idx = jnp.zeros((k,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    n_sel = jnp.minimum(
+        n_hi.astype(jnp.int32) + jnp.sum(eq, dtype=jnp.int32), k)
+    got = jnp.arange(k, dtype=jnp.int32) < n_sel
+    return idx, got
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_set(x, valid, k):
+    """Exact top-k SET selection per row: x (B, N) f32 any sign, valid
+    (B, N) bool. Returns (idx (B, k) int32, got (B, k) bool) with the
+    selected indices in scan order. See `_row_top_k_set`."""
+    return jax.vmap(lambda s, v: _row_top_k_set(s, v, k))(x, valid)

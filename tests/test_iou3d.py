@@ -124,11 +124,51 @@ def test_chunked_nms_matches_direct():
     direct = iou3d.nms_rotated(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
         thresh=0.3, pre_max_size=300, post_max_size=64, chunk_size=4096,
+        impl="chunked",
     )
     chunked = iou3d.nms_rotated(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
         thresh=0.3, pre_max_size=300, post_max_size=64, chunk_size=64,
+        impl="chunked",
+    )
+    rounds = iou3d.nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        thresh=0.3, pre_max_size=300, post_max_size=64,
     )
     d_idx = np.asarray(direct[0])[np.asarray(direct[1])]
     c_idx = np.asarray(chunked[0])[np.asarray(chunked[1])]
+    r_idx = np.asarray(rounds[0])[np.asarray(rounds[1])]
     np.testing.assert_array_equal(d_idx, c_idx)
+    np.testing.assert_array_equal(d_idx, r_idx)
+
+
+def test_rounds_nms_matches_chunked_random():
+    """The survivor-paced rounds NMS must reproduce the chunked greedy
+    result exactly, including pre-cap truncation and many-survivor
+    cases (post cap binding)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    for n, pre, post, thr in ((500, 256, 32, 0.1), (400, 400, 200, 0.7)):
+        boxes = np.stack([
+            rng.uniform(0, 60, n), rng.uniform(0, 60, n), np.zeros(n),
+            rng.uniform(2, 5, n), rng.uniform(1, 3, n), np.ones(n),
+            rng.uniform(-np.pi, np.pi, n),
+        ], axis=1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        a = iou3d.nms_rotated(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            thresh=thr, pre_max_size=pre, post_max_size=post, impl="chunked")
+        b = iou3d.nms_rotated(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            thresh=thr, pre_max_size=pre, post_max_size=post)
+        a_idx = np.asarray(a[0])[np.asarray(a[1])]
+        b_idx = np.asarray(b[0])[np.asarray(b[1])]
+        np.testing.assert_array_equal(a_idx, b_idx)
+        c = iou3d.nms_rotated(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            thresh=thr, pre_max_size=pre, post_max_size=post,
+            pre_select="radix")
+        c_idx = np.asarray(c[0])[np.asarray(c[1])]
+        np.testing.assert_array_equal(a_idx, c_idx)

@@ -64,3 +64,34 @@ def test_k_equals_n():
     rng = np.random.RandomState(2)
     p = rng.uniform(0, 1, (1, 256)).astype(np.float32)
     _check(p, 256)
+
+
+def test_top_k_set_signed_exact():
+    """top_k_set must select exactly the lax.top_k SET for signed scores
+    (distinct values -> unique set), including -inf invalid sentinels
+    and rows with fewer valid entries than k."""
+    import jax
+    import jax.numpy as jnp
+
+    from btcdet_tpu.ops import topk
+
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-10, 10, (3, 4096)).astype(np.float32)
+    valid = rng.rand(3, 4096) > 0.2
+    k = 256
+    idx, got = jax.jit(topk.top_k_set, static_argnames="k")(
+        jnp.asarray(x), jnp.asarray(valid), k=k)
+    idx, got = np.asarray(idx), np.asarray(got)
+
+    xm = np.where(valid, x, -np.inf)
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(xm), k)
+    for b in range(3):
+        assert set(idx[b][got[b]].tolist()) == set(np.asarray(ref_i[b]).tolist())
+
+    # fewer valid than k
+    valid2 = np.zeros((1, 4096), bool)
+    valid2[0, 10:50] = True
+    idx2, got2 = jax.jit(topk.top_k_set, static_argnames="k")(
+        jnp.asarray(x[:1]), jnp.asarray(valid2), k=k)
+    assert int(np.asarray(got2).sum()) == 40
+    assert set(np.asarray(idx2)[0][np.asarray(got2)[0]].tolist()) == set(range(10, 50))
