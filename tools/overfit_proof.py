@@ -28,7 +28,8 @@ os.chdir(REPO)
 sys.path.insert(0, str(REPO))
 
 
-def build_data(root: Path, n_frames: int, cars_per_frame: int = 4):
+def build_data(root: Path, n_frames: int, cars_per_frame: int = 4,
+               class_names=("Car",)):
     from btcdet_tpu.datasets import bestmatch
     from btcdet_tpu.datasets.kitti import kitti_infos
     from btcdet_tpu.datasets.synthetic_kitti import make_raw_kitti
@@ -43,15 +44,23 @@ def build_data(root: Path, n_frames: int, cars_per_frame: int = 4):
     # 42.5 "failure" was this protocol artifact, not a model failure).
     # x <= 26 m keeps every gt's image bbox height > 40 px so no gt is
     # ignored at the 'easy' difficulty.
+    objects = None
+    if len(class_names) > 1:
+        # multi-class proof (VERDICT r3 next #6): every class needs
+        # >= ~41 gt for the 41-slot AP_R40 to be able to reach 100
+        objects = {c: cars_per_frame for c in class_names}
     make_raw_kitti(root, n_frames=n_frames, n_train=n_frames, seed=7,
-                   cars_per_frame=cars_per_frame, x_range=(8, 26))
+                   cars_per_frame=cars_per_frame, x_range=(8, 26),
+                   objects_per_frame=objects)
     (root / "ImageSets" / "val.txt").write_text(
         (root / "ImageSets" / "train.txt").read_text())
     kitti_infos.create_kitti_infos(root, workers=2)
-    bestmatch.create_best_match_db(root, class_names=("Car",), splits=("train",))
+    bestmatch.create_best_match_db(root, class_names=class_names,
+                                   splits=("train",))
 
 
-def write_cfg(root: Path, out_cfg: Path):
+def write_cfg(root: Path, out_cfg: Path, base_yaml: str =
+              "tools/cfgs/model_configs/btcdet_kitti_car.yaml"):
     """Flagship config with the data rooted at the synthetic tree, val
     split = train split, and world augmentation disabled (memorization
     needs deterministic frames; the bm querier stays on for occ
@@ -60,7 +69,7 @@ def write_cfg(root: Path, out_cfg: Path):
 
     from btcdet_tpu.config import cfg_from_yaml_file
 
-    cfg = cfg_from_yaml_file("tools/cfgs/model_configs/btcdet_kitti_car.yaml")
+    cfg = cfg_from_yaml_file(base_yaml)
     d = json.loads(json.dumps(cfg))  # EasyDict -> plain dict
     dc = d["DATA_CONFIG"]
     dc.pop("_BASE_CONFIG_", None)
@@ -93,10 +102,21 @@ def main():
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe previous overfit run first")
+    ap.add_argument("--three_classes", action="store_true",
+                    help="3-class proof on btcdet_kitti_3classes.yaml "
+                         "(VERDICT r3 next #6)")
     args = ap.parse_args()
 
-    work = REPO / "output" / "overfit"
-    run_dir = REPO / "output" / "btcdet_overfit"  # cfg.TAG of the written cfg
+    if args.three_classes:
+        tag = "overfit3"
+        class_names = ("Car", "Pedestrian", "Cyclist")
+        base_yaml = "tools/cfgs/model_configs/btcdet_kitti_3classes.yaml"
+    else:
+        tag = "overfit"
+        class_names = ("Car",)
+        base_yaml = "tools/cfgs/model_configs/btcdet_kitti_car.yaml"
+    work = REPO / "output" / tag
+    run_dir = REPO / "output" / f"btcdet_{tag}"  # cfg.TAG of the written cfg
     if args.fresh:
         import shutil
         # wipe BOTH the data work dir and the train run dir: train.py
@@ -109,8 +129,8 @@ def main():
     data_root = work / "data"
     if not (data_root / "kitti_infos_train.pkl").exists():
         print("building synthetic KITTI tree ...", flush=True)
-        build_data(data_root, args.frames, args.cars_per_frame)
-    cfg_path = write_cfg(data_root, work / "btcdet_overfit.yaml")
+        build_data(data_root, args.frames, args.cars_per_frame, class_names)
+    cfg_path = write_cfg(data_root, work / f"btcdet_{tag}.yaml", base_yaml)
 
     cmd = [
         sys.executable, "tools/train.py",
@@ -133,10 +153,12 @@ def main():
         raise SystemExit(f"train/eval failed rc={proc.returncode}")
 
     losses = [float(m) for m in re.findall(r"\bloss=([0-9.]+)", log)]
-    aps = dict(re.findall(r"(Car_(?:3d|bev|image|aos)/\w+_R40)[=: ]+([0-9.]+)", log))
+    aps = dict(re.findall(
+        r"(\w+_(?:3d|bev|image|aos)/\w+_R40)[=: ]+([0-9.]+)", log))
     summary = {
         "epochs": args.epochs,
         "frames": args.frames,
+        "classes": list(class_names),
         "cars_per_frame": args.cars_per_frame,
         "first_loss": losses[0] if losses else None,
         "final_loss": losses[-1] if losses else None,
