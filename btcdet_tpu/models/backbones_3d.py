@@ -144,7 +144,11 @@ class VoxelBackBone8xOcc(nn.Module):
         occ_code_features: jax.Array | None,
         train: bool = False,
         cache: dict | None = None,
+        stop_after: str | None = None,
     ):
+        """`stop_after` in {conv1, conv2, conv3, conv4, out} returns the
+        partial level dict early (profiling probes: per-level prefix
+        deltas are trustworthy stage costs because XLA DCEs the tail)."""
         if cache is None:
             cache = {}
         ch = list(self.channels)
@@ -160,8 +164,12 @@ class VoxelBackBone8xOcc(nn.Module):
                 att = self._block(ch[0] + add[0], 3, p=1, key="subm1", name="att_conv1", act="leaky_relu")(x, cache, train)
                 x = x.replace(features=x.features * att.features + x.features)
         x_conv1 = self._block(ch[0], 3, p=1, key="subm1", name="conv1_combine")(x, cache, train)
+        if stop_after == "conv1":
+            return {"x_conv1": x_conv1}
 
         x_conv2 = self._block(ch[1], 3, s=2, p=1, t="spconv", key="spconv2", name="conv2", cap=self._cap(0, train, st.batch_size))(x_conv1, cache, train)
+        if stop_after == "conv2s":
+            return {"x_conv2": x_conv2}
         x_occ = occ_st
         if occ_st is not None and len(exec_) > 1:
             x_occ = self._occ_down(1)(occ_st, cache, train) if self.occ_conv_type[1] != "identity" else occ_st
@@ -174,8 +182,12 @@ class VoxelBackBone8xOcc(nn.Module):
                     x_conv2 = x_conv2.replace(features=x_conv2.features * att.features + x_conv2.features)
         x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_0")(x_conv2, cache, train)
         x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_1")(x_conv2, cache, train)
+        if stop_after == "conv2":
+            return {"x_conv2": x_conv2}
 
         x_conv3 = self._block(ch[2], 3, s=2, p=1, t="spconv", key="spconv3", name="conv3", cap=self._cap(1, train, st.batch_size))(x_conv2, cache, train)
+        if stop_after == "conv3s":
+            return {"x_conv3": x_conv3}
         if occ_st is not None and len(exec_) > 2:
             x_occ = self._occ_down(2)(x_occ, cache, train)
             if exec_[2]:
@@ -184,6 +196,8 @@ class VoxelBackBone8xOcc(nn.Module):
                 )
         x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_0")(x_conv3, cache, train)
         x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_1")(x_conv3, cache, train)
+        if stop_after == "conv3":
+            return {"x_conv3": x_conv3}
 
         x_conv4 = self._block(ch[3], 3, s=2, p=(0, 1, 1), t="spconv", key="spconv4", name="conv4", cap=self._cap(2, train, st.batch_size))(x_conv3, cache, train)
         if occ_st is not None and len(exec_) > 3:
@@ -194,9 +208,13 @@ class VoxelBackBone8xOcc(nn.Module):
                 )
         x_conv4 = self._block(ch[3], 3, p=1, key="subm4", name="conv4_combine_0")(x_conv4, cache, train)
         x_conv4 = self._block(ch[3], 3, p=1, key="subm4", name="conv4_combine_1")(x_conv4, cache, train)
+        if stop_after == "conv4":
+            return {"x_conv4": x_conv4}
 
         # [5, 200, 176] -> [2, 200, 176], stride 8 output for the BEV head
         out = self._block(ch[4], (3, 1, 1), s=(2, 1, 1), p=0, t="spconv", key="spconv_down2", name="conv_out", cap=self._cap(3, train, st.batch_size))(x_conv4, cache, train)
+        if stop_after == "out":
+            return {"encoded": out}
 
         x_combine = self._res_combine(x_conv2, x_conv3, x_conv4, out, cache, train)
 

@@ -31,6 +31,11 @@ from ...utils import common, coords, loss_utils
 from .. import backbones_3d, vfe
 from . import occ_targets as T
 
+# Tiered width for the fused merge's occ-point table (see
+# `_pass_occ_vox`): skipped below this K so train (K=2048) and small
+# test configs run the single full-width path. Tests monkeypatch it.
+MERGE_TIER_MIN = 8192
+
 
 def db_proj_expand(xyz, tail, valid, src_cell, rot_z, *,
                    det_lo, det_vs, det_grid, occ_lo, occ_vs, coord_type,
@@ -694,9 +699,36 @@ class OccSubnet(nn.Module):
                 extra=extra, max_points=Pd_m,
                 num_raw_features=self.fused_vfe_nrf,
             )
-            feat, occ_code, num, coords_zyx, row_valid = jax.vmap(fused)(
-                det_vox_b, det_coords_b, det_numc, merge_pts, merge_valid
-            )
+            # Tiered occ-point width: the table is capacity-padded
+            # (eval K=40k at reference caps vs ~3k live points on
+            # trained models) and the merge's sort/scan/search all
+            # scale with K. Output shapes are K-independent
+            # (per_frame_vox + extra rows), and dropping rows past the
+            # last valid index is exact: invalid rows carry
+            # okey=INT32_MAX, sort to the end, and are excluded from
+            # every kept/scan contribution (regression:
+            # tests/test_voxelizer.py::test_fused_merge_tier_truncation
+            # _is_exact). Batch-level cond like the tiered ball query
+            # (ops/group_ops.py multi_ball_query).
+            K_m = merge_pts.shape[1]
+            tiers_m = ([t for t in (4096, 16384) if t < K_m]
+                       if K_m >= MERGE_TIER_MIN else [])
+            iota_k = jnp.arange(K_m, dtype=jnp.int32)
+            nvalid_m = jnp.max(jnp.where(merge_valid, iota_k[None, :], -1)) + 1
+
+            def run_merge(W):
+                return lambda: jax.vmap(fused)(
+                    det_vox_b, det_coords_b, det_numc,
+                    merge_pts[:, :W], merge_valid[:, :W])
+
+            def chain_m(i):
+                if i == len(tiers_m):
+                    return run_merge(K_m)
+                return lambda: jax.lax.cond(
+                    nvalid_m <= tiers_m[i], run_merge(tiers_m[i]),
+                    chain_m(i + 1))
+
+            feat, occ_code, num, coords_zyx, row_valid = chain_m(0)()
             out["det_voxel_features"] = jnp.where(
                 row_valid[..., None], feat, 0.0).reshape(B * merged_cap, -1)
             out["det_occ_code"] = jnp.where(

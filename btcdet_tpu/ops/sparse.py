@@ -163,10 +163,20 @@ def from_coords(
     batch_size: int,
     *,
     assume_sorted: bool = False,
-) -> SparseTensor:
+    aux: jax.Array | None = None,
+):
     """Build a SparseTensor from (features, coords); sorts rows by key.
 
     coords rows with b < 0 are padding.
+
+    `aux`: optional per-row side table (e.g. the occ-code channels the
+    det backbone concatenates level-wise) that must stay ROW-ALIGNED
+    with the tensor — it is permuted by the same sort and returned as a
+    second value. Passing side data through separately and zipping it
+    with `st.replace(features=aux)` afterwards is WRONG whenever padding
+    rows sit between valid blocks (the merged det+occ table always has
+    per-frame [det valid | det pad | extra valid | extra pad] layout, so
+    the sort is never the identity).
     """
     spatial_shape = tuple(int(s) for s in spatial_shape)
     keys = linear_key(coords, spatial_shape, batch_size)
@@ -175,14 +185,54 @@ def from_coords(
         keys = keys[order]
         coords = coords[order]
         features = features[order]
+        if aux is not None:
+            aux = aux[order]
     nnz = jnp.sum(keys != INT32_MAX).astype(jnp.int32)
-    return SparseTensor(
+    st = SparseTensor(
         features=features,
         coords=coords,
         keys=keys,
         nnz=nnz,
         spatial_shape=spatial_shape,
         batch_size=int(batch_size),
+    )
+    return (st, aux) if aux is not None else st
+
+
+def prefix(st: SparseTensor, width: int) -> SparseTensor:
+    """Static-prefix slice of a key-sorted tensor: rows are valid-first
+    (INT32_MAX padding keys sort last), so any `width >= st.nnz` yields a
+    tensor with bitwise-identical live content at a smaller capacity —
+    every rulebook/qk/BN/elementwise downstream then scales with `width`
+    instead of the capacity. The caller must guard `width >= nnz`
+    (tiered `lax.cond`, see btcnet's det-backbone call)."""
+    return SparseTensor(
+        features=st.features[:width],
+        coords=st.coords[:width],
+        keys=st.keys[:width],
+        nnz=st.nnz,
+        spatial_shape=st.spatial_shape,
+        batch_size=st.batch_size,
+    )
+
+
+def pad_capacity(st: SparseTensor, capacity: int) -> SparseTensor:
+    """Extend a tensor with padding rows (zero features, -1 coords,
+    INT32_MAX keys) up to `capacity` — the inverse of `prefix`, used to
+    equalize branch output shapes in tiered `lax.cond` chains. No-op
+    when the tensor is already at `capacity`."""
+    n = st.keys.shape[0]
+    if n == capacity:
+        return st
+    assert n < capacity, (n, capacity)
+    pad = capacity - n
+    return SparseTensor(
+        features=jnp.pad(st.features, ((0, pad), (0, 0))),
+        coords=jnp.pad(st.coords, ((0, pad), (0, 0)), constant_values=-1),
+        keys=jnp.pad(st.keys, (0, pad), constant_values=INT32_MAX),
+        nnz=st.nnz,
+        spatial_shape=st.spatial_shape,
+        batch_size=st.batch_size,
     )
 
 

@@ -153,3 +153,26 @@ def test_fused_vfe_matches_materialized_model():
     np.testing.assert_allclose(
         np.asarray(a["batch_box_preds"]), np.asarray(b["batch_box_preds"]),
         rtol=2e-3, atol=2e-3)
+
+
+def test_tiered_backbone_matches_full_width(monkeypatch):
+    """Eval forward with the tiered det-backbone input (btcnet
+    `_tiered_backbone`: nn.cond prefix widths cap/4, cap/2, full) must
+    equal the untiered forward bitwise — the prefix slice only drops
+    all-padding rows of the key-sorted merged table."""
+    from btcdet_tpu.models.detectors import btcnet as btcnet_mod
+
+    data_cfg = mini_data_cfg(with_occ=True)
+    model_cfg = mini_model_cfg(with_occ=True)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = to_jnp(make_synthetic_batch(data_cfg, batch_size=2, num_points=4096, num_gt=4))
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=False)
+
+    out_full = net.apply(variables, batch, train=False)
+    monkeypatch.setattr(btcnet_mod, "TIER_MIN_CAPACITY", 1)
+    out_tier = net.apply(variables, batch, train=False)
+    for k in ("encoded_features", "batch_box_preds", "rpn_cls_preds"):
+        np.testing.assert_array_equal(
+            np.asarray(out_full[k]), np.asarray(out_tier[k]), err_msg=k)

@@ -384,3 +384,31 @@ def test_output_site_capacity_is_per_frame():
     # keys stay sorted ascending with INT32_MAX padding
     k = np.asarray(keys)
     assert np.all(np.diff(k[ok]) > 0) and np.all(k[~ok] == sparse.INT32_MAX)
+
+
+def test_from_coords_aux_rides_the_sort():
+    """The det backbone zips occ-code channels onto the sorted tensor
+    row-wise (`st.replace(features=occ_code)`), so the side table MUST
+    be permuted by the same argsort. The merged det+occ table's
+    per-frame layout is [det valid | det pad | extra valid | extra pad]
+    — padding between valid blocks makes the sort non-identity even at
+    batch 1 (r4 regression: btcnet passed occ_code unsorted, attaching
+    every voxel's occ code to a different voxel)."""
+    coords = np.array([
+        # frame 0: det valid, det pad, extra valid, extra pad
+        [0, 0, 0, 1], [0, 0, 1, 0], [-1, -1, -1, -1],
+        [0, 1, 0, 0], [-1, -1, -1, -1],
+        # frame 1
+        [1, 0, 0, 0], [1, 0, 2, 2], [-1, -1, -1, -1],
+        [1, 1, 1, 1], [-1, -1, -1, -1],
+    ], np.int32)
+    n = len(coords)
+    feats = np.arange(n, dtype=np.float32)[:, None]
+    aux = 100.0 + np.arange(n, dtype=np.float32)[:, None]
+    st, aux_sorted = sparse.from_coords(
+        jnp.asarray(feats), jnp.asarray(coords), (3, 3, 3), 2,
+        aux=jnp.asarray(aux))
+    f = np.asarray(st.features[:, 0])
+    a = np.asarray(aux_sorted[:, 0])
+    assert not np.array_equal(f, np.arange(n)), "sort must not be identity here"
+    np.testing.assert_array_equal(a, 100.0 + f)  # row-aligned after sort

@@ -328,3 +328,51 @@ def test_fused_merge_vfe_matches_materialized():
         np.testing.assert_allclose(
             np.asarray(ref_code) * rv, np.asarray(code) * rv,
             rtol=1e-5, atol=1e-6, err_msg=f"trial {trial}: occ_code")
+
+
+def test_fused_merge_tier_truncation_is_exact():
+    """Truncating the occ-point table past the last valid index must not
+    change the fused merge's outputs — the contract behind the tiered
+    width in occ_subnet._pass_occ_vox (eval K=40k cap vs ~3k live
+    points; the suffix is all-invalid after the prob top-k)."""
+    import jax.numpy as jnp
+
+    pcr = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+    vs = (0.5, 0.5, 0.5)
+    nx, ny, nz = voxelizer.compute_grid_size(pcr, vs)
+
+    r = np.random.RandomState(7)
+    n_det, pd, mp, extra, K, live = 200, 4, 6, 60, 400, 90
+    base = np.concatenate([
+        r.uniform((0, -8, -3), (16, 8, 1), (600, 3)),
+        r.rand(600, 1)], 1).astype(np.float32)
+    res = voxelizer.voxelize(
+        jnp.asarray(base), jnp.ones(600, bool),
+        point_cloud_range=pcr, voxel_size=vs,
+        max_points=pd, max_voxels=n_det)
+    coords4 = np.concatenate([
+        np.where(np.asarray(res.coords[:, :1]) >= 0, 0, -1),
+        np.asarray(res.coords)], axis=1).astype(np.int32)
+
+    new = np.concatenate([
+        r.uniform((-2, -10, -4), (18, 10, 2), (K, 3)),
+        np.full((K, 1), 0.37), r.rand(K, 1), np.ones((K, 1))],
+        1).astype(np.float32)
+    valid = np.zeros(K, bool)
+    valid[:live] = r.rand(live) > 0.2  # valid-first, like the top-k
+    new[~valid] = 0.0
+
+    kw = dict(grid_size=(nx, ny, nz), lo=jnp.asarray(pcr[:3], jnp.float32),
+              vs=jnp.asarray(vs, jnp.float32), extra=extra, max_points=mp,
+              num_raw_features=4)
+    full = voxelizer.merge_points_into_voxel_features(
+        res.voxels, jnp.asarray(coords4), res.num_points,
+        jnp.asarray(new), jnp.asarray(valid), **kw)
+    for W in (live, 128, 256):
+        cut = voxelizer.merge_points_into_voxel_features(
+            res.voxels, jnp.asarray(coords4), res.num_points,
+            jnp.asarray(new[:W]), jnp.asarray(valid[:W]), **kw)
+        for a, b, name in zip(full, cut,
+                              ("feat", "code", "num", "coords", "valid")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"W={W}: {name}")

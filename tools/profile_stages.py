@@ -198,19 +198,21 @@ def main(mode="test", batch_size=1, occ_vox_cap=0, det_vox_cap=0):
     @jax.jit
     def det_backbone(v, b):
         def run(m, b, train):
-            st = sparse.from_coords(
-                b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), batch_size
+            st, occ = sparse.from_coords(
+                b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx),
+                batch_size, aux=b["det_occ_code"]
             )
-            return m.backbone_3d(st, b["det_occ_code"], train=train)["encoded"].features
+            return m.backbone_3d(st, occ, train=train)["encoded"].features
         return net.apply(v, b, train=False, method=run)
 
     timeit("det 3D backbone (merged vox)", det_backbone, variables, b2, iters=3)
 
     # --- split rulebook construction vs gather-GEMM compute -------------
     def _run_backbone(m, b, train, cache):
-        st = sparse.from_coords(
-            b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), 1)
-        out = m.backbone_3d(st, b["det_occ_code"], train=train, cache=cache)
+        st, occ = sparse.from_coords(
+            b["det_vfeat"], b["det_voxel_coords"], (nz, ny, nx), 1,
+            aux=b["det_occ_code"])
+        out = m.backbone_3d(st, occ, train=train, cache=cache)
         return out["encoded"].features
 
     static_store = {}  # name -> (static vals, is_array mask); filled at trace time
