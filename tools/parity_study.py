@@ -91,12 +91,19 @@ def parse_aps(log: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train seed; seed!=0 runs land in parity_s<N> "
+                         "tags and parity_v2_s<N>.json (noise-floor "
+                         "estimate: same data, different init/order)")
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the existing checkpoint, only re-eval")
     args = ap.parse_args()
 
+    tag = "parity" if args.seed == 0 else f"parity_s{args.seed}"
+    out_json = OUT_JSON if args.seed == 0 else (
+        OUT_JSON.parent / f"parity_v2_s{args.seed}.json")
     if args.fresh:
         import shutil
         for p in (WORK, RUN_DIR):
@@ -112,7 +119,8 @@ def main():
         cmd = [
             sys.executable, "tools/train.py",
             "--cfg_file", str(cfg_path),
-            "--extra_tag", "parity",
+            "--extra_tag", tag,
+            "--seed", str(args.seed),
             "--epochs", str(args.epochs),
             "--batch_size", str(args.batch_size),
             "--workers", "2",
@@ -122,7 +130,7 @@ def main():
         ]
         print("running:", " ".join(cmd), flush=True)
         proc = subprocess.run(cmd, capture_output=True, text=True)
-        (WORK / "train.log").write_text(proc.stdout + proc.stderr)
+        (WORK / f"train_{tag}.log").write_text(proc.stdout + proc.stderr)
         if proc.returncode != 0:
             print((proc.stdout + proc.stderr)[-4000:])
             raise SystemExit(f"train failed rc={proc.returncode}")
@@ -137,7 +145,7 @@ def main():
         cmd = [
             sys.executable, "tools/test.py",
             "--cfg_file", str(cfg_path),
-            "--extra_tag", "parity",
+            "--extra_tag", tag,
             "--batch_size", str(args.batch_size),
             "--workers", "2",
         ] + extra
@@ -145,22 +153,23 @@ def main():
         print(f"eval [{name}]:", " ".join(cmd), flush=True)
         proc = subprocess.run(cmd, capture_output=True, text=True, env=e)
         log = proc.stdout + proc.stderr
-        (WORK / f"eval_{name}.log").write_text(log)
+        (WORK / f"eval_{tag}_{name}.log").write_text(log)
         if proc.returncode != 0:
             print(log[-4000:])
             raise SystemExit(f"eval {name} failed rc={proc.returncode}")
         results[name] = parse_aps(log)
         print(name, json.dumps(results[name]), flush=True)
 
-    OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
-    OUT_JSON.write_text(json.dumps({
+    out_json.parent.mkdir(parents=True, exist_ok=True)
+    out_json.write_text(json.dumps({
         "protocol": {
             "frames": 40, "train_frames": 30, "val_frames": 10,
             "cars_per_frame": 6, "hard": True, "epochs": args.epochs,
+            "seed": args.seed,
         },
         "results": results,
     }, indent=1))
-    print("wrote", OUT_JSON)
+    print("wrote", out_json)
 
 
 if __name__ == "__main__":
