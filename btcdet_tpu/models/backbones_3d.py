@@ -218,6 +218,10 @@ class VoxelBackBone8xOcc(nn.Module):
 
         x_combine = self._res_combine(x_conv2, x_conv3, x_conv4, out, cache, train)
 
+        # NOTE: the tiered eval path (btcnet._tiered_backbone) only
+        # threads `encoded` and `x_combine` through its nn.cond branches;
+        # a new key added here must also be padded + returned there or it
+        # will KeyError only at full-cap eval.
         return {
             "encoded": out,
             "encoded_stride": 8,

@@ -37,9 +37,11 @@ from ..roi_heads import roi_head_utils
 # occ-subnet dense masks exported (train only) for the OCC_PNT_UPDATE.VIS
 # debug views, read by utils.vis_utils.collect_occ_vis_clouds
 # Eval-time tiered width for the det backbone input (see
-# `_tiered_backbone`): skipped below this capacity so tiny CPU test
-# configs don't pay the 3x branch compile. Tests monkeypatch it.
-TIER_MIN_CAPACITY = 100_000
+# `_tiered_backbone`): skipped below this PER-FRAME capacity so tiny CPU
+# test configs don't pay the 3x branch compile, while real small-batch
+# runs (B=1 eval at reference caps is ~50k/frame merged) still tier.
+# Tests monkeypatch it.
+TIER_MIN_CAPACITY = 8_192
 
 VIS_MASK_KEYS = (
     "general_cls_loss_mask", "fore_voxelwise_mask", "mirr_voxelwise_mask",
@@ -240,7 +242,7 @@ class BtcNet(nn.Module):
         the branches), and skipped below TIER_MIN_CAPACITY so tiny test
         configs don't pay the 3x branch compile."""
         cap = st.keys.shape[0]
-        if train or cap < TIER_MIN_CAPACITY:
+        if train or cap // max(int(st.batch_size), 1) < TIER_MIN_CAPACITY:
             return self.backbone_3d(st, occ_code, train=train)
 
         def rup(w):  # Pallas tile alignment
@@ -254,7 +256,11 @@ class BtcNet(nn.Module):
         # input width, so pad back to the full-width capacities.
         bb = self.backbone_3d
         enc_cap = bb._cap(3, False, st.batch_size) or cap
-        xc_cap = bb._cap(2, False, st.batch_size) or cap
+        # x_combine's grid depends on the combine variant: big_bev_combine/
+        # big_combine live on the x_conv4 grid (level cap index 2), plain
+        # 'combine' ends at the strided spconv5 (level cap index 4)
+        xc_level = 4 if bb.out_feat_type[4] == "combine" else 2
+        xc_cap = bb._cap(xc_level, False, st.batch_size) or cap
 
         def bb_at(width):
             def f(mdl, st, occ):

@@ -177,6 +177,12 @@ def from_coords(
     rows sit between valid blocks (the merged det+occ table always has
     per-frame [det valid | det pad | extra valid | extra pad] layout, so
     the sort is never the identity).
+
+    Return type is polymorphic on `aux`: SparseTensor without it,
+    `(SparseTensor, permuted_aux)` with it — a call site adding `aux`
+    must also update its unpacking. With `assume_sorted=True` the aux
+    table is returned UNPERMUTED (the caller asserts rows are already in
+    key order, so identity is correct).
     """
     spatial_shape = tuple(int(s) for s in spatial_shape)
     keys = linear_key(coords, spatial_shape, batch_size)
