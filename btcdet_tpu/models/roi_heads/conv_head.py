@@ -189,6 +189,7 @@ class ConvHead(nn.Module):
             feats.append(sa(
                 points_xyz, points_mask, new_xyz, new_mask,
                 features=points_feat, train=train, rotate_matrix=rot,
+                group_centers=rois[..., :3], group_size=G,
             ))
             self.sow("intermediates", "sa_rawpoints", feats[-1])
         if "occ_points" in self.features_source and occ_xyz is not None:
@@ -201,6 +202,7 @@ class ConvHead(nn.Module):
             feats.append(sa(
                 occ_xyz, occ_mask, new_xyz, new_mask,
                 features=occ_feat, train=train, rotate_matrix=rot,
+                group_centers=rois[..., :3], group_size=G,
             ))
             self.sow("intermediates", "sa_occpoints", feats[-1])
         if "x_combine" in self.features_source and x_combine is not None:

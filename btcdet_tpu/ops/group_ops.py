@@ -201,6 +201,130 @@ def multi_ball_query(
     return [(idx[s, ..., : int(nsamples[s])], empty[s]) for s in range(S)]
 
 
+def multi_ball_query_grouped(
+    xyz: jax.Array,          # (B, N, 3)
+    xyz_mask: jax.Array,     # (B, N)
+    new_xyz: jax.Array,      # (B, R*G, 3) queries, R rois x G grid points
+    new_mask: jax.Array,     # (B, R*G)
+    radii,                   # sequence of float or (inner, outer)
+    nsamples,                # sequence of int
+    group_centers: jax.Array,  # (B, R, 3) roi centers
+    group_size: int,           # G
+    cand_k: int = 512,
+):
+    """Two-stage roi-grouped multi-scale ball query (approximate).
+
+    The dense per-query path scans every point for every roi grid point
+    (M x N distance + top-k work independent of where the points are).
+    Roi grid points are spatially clustered, so stage 1 selects the
+    `cand_k` nearest points PER ROI (one (R, N) distance + top-k — G x
+    fewer rows), and stage 2 runs the exact radius / first-in-point-order
+    selection among those candidates ((R*G, cand_k) — N/cand_k x narrower
+    lanes). A true ball neighbor is dropped only when more than `cand_k`
+    points sit nearer the roi center than it — i.e. in neighborhoods so
+    dense the ball is over-full anyway — which is the same accepted
+    displacement argument as the shared-candidate approx path
+    (docs/PARITY_RISKS.md). Annulus (shell) scales keep exact semantics
+    in stage 2 (candidates are center-nearest, not ball-nearest, so the
+    inner-radius displacement caveat of shared_candidates does not
+    apply at the scale level).
+
+    Returns per scale: (idx (B, R*G, k_s) int32 into the FULL point
+    table, empty (B, R*G) bool) — same contract as multi_ball_query.
+    """
+    B, N, _ = xyz.shape
+    RG = new_xyz.shape[1]
+    G = int(group_size)
+    R = RG // G
+    assert R * G == RG, (RG, G)
+    k_max = max(int(k) for k in nsamples)
+    r2 = []
+    for r in radii:
+        if isinstance(r, (list, tuple)):
+            r2.append((float(r[0]) ** 2, float(r[1]) ** 2))
+        else:
+            r2.append((0.0, float(r) ** 2))
+    BIG = jnp.float32(3.0e38)
+    cand_k = min(int(cand_k), N)
+
+    # --- stage 1: cand_k nearest points per roi center ------------------
+    # tiered static width (same trick as multi_ball_query): the table is
+    # capacity-padded; scan only the smallest static prefix covering the
+    # last valid index
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    nvalid = jnp.max(jnp.where(xyz_mask, iota_n[None, :], -1)) + 1
+    tiers = [t for t in (4096, 16384) if cand_k < t < N]
+
+    xyz_sq = jnp.sum(xyz * xyz, axis=-1)
+    c_sq = jnp.sum(group_centers * group_centers, axis=-1)
+
+    def cands_width(width):
+        x = xyz[:, :width]
+        m = xyz_mask[:, :width]
+        cross = jnp.einsum("brc,bnc->brn", group_centers, x,
+                           preferred_element_type=jnp.float32)
+        d2 = c_sq[..., None] + xyz_sq[:, None, :width] - 2.0 * cross
+        neg = jnp.where(m[:, None, :], -d2, -BIG)
+        _, cd = jax.lax.approx_max_k(neg, cand_k, recall_target=0.95)
+        return cd.astype(jnp.int32)
+
+    def tier(i):
+        if i == len(tiers):
+            return lambda: cands_width(N)
+        return lambda: jax.lax.cond(
+            nvalid <= tiers[i], lambda: cands_width(tiers[i]), tier(i + 1))
+
+    cand = tier(0)()                       # (B, R, cand_k) original idx
+    # gather candidate coords + validity in one pass
+    packed = jnp.concatenate(
+        [xyz, xyz_mask[..., None].astype(xyz.dtype)], axis=-1)
+    cg = jax.vmap(lambda t, ix: t[ix])(packed, cand)   # (B, R, cand_k, 4)
+    cand_xyz = cg[..., :3]
+    cand_ok = cg[..., 3] > 0.5
+
+    # --- stage 2: exact selection among candidates per grid point -------
+    qpts = new_xyz.reshape(B, R, G, 3)
+    d2 = jnp.sum(qpts * qpts, -1)[..., None] + jnp.sum(
+        cand_xyz * cand_xyz, -1)[:, :, None, :] - 2.0 * jnp.einsum(
+        "brgc,brkc->brgk", qpts, cand_xyz,
+        preferred_element_type=jnp.float32)            # (B, R, G, cand_k)
+    cand_okg = cand_ok[:, :, None, :]
+    if all(lo == 0.0 for lo, _ in r2) and k_max < cand_k:
+        # shared nearest-k_max among candidates, then per-scale
+        # first-in-order (same two-level shape as one_chunk_shared);
+        # sound for plain balls only — an annulus scale's neighbors can
+        # all be displaced by inner-radius points, so shells fall through
+        # to direct per-scale selection over the full candidate width
+        r_out_max = max(hi for _, hi in r2)
+        in_any = (d2 <= r_out_max) & cand_okg
+        neg = jnp.where(in_any, -d2, -BIG)
+        nd, pos = jax.lax.top_k(neg, k_max)            # (B, R, G, k_max)
+        sel_d2 = -nd
+        sel_ok = nd > -BIG / 2
+        sel_idx = jnp.take_along_axis(
+            jnp.broadcast_to(cand[:, :, None, :], d2.shape), pos, axis=-1)
+    else:
+        sel_d2 = d2
+        sel_ok = cand_okg
+        sel_idx = jnp.broadcast_to(cand[:, :, None, :], d2.shape)
+
+    qm = new_mask.reshape(B, R, G)
+    out = []
+    for (lo, hi), ks in zip(r2, nsamples):
+        in_s = sel_ok & (sel_d2 <= hi) & (sel_d2 >= lo)
+        sc = jnp.where(in_s, -sel_idx.astype(jnp.float32), -BIG)
+        ss, p2 = jax.lax.top_k(sc, int(ks))
+        found = ss > -BIG / 2
+        sel = jnp.take_along_axis(sel_idx, p2, axis=-1)
+        first = sel[..., 0:1]
+        sel = jnp.where(found, sel, first)
+        empty = (~found[..., 0]) | ~qm
+        sel = jnp.where(empty[..., None], 0, sel)
+        out.append((sel.reshape(B, RG, int(ks)).astype(jnp.int32),
+                    empty.reshape(B, RG)))
+    return out
+
+
 def ball_query_group(
     xyz: jax.Array,          # (B, N, 3)
     xyz_mask: jax.Array,     # (B, N) bool
@@ -366,18 +490,29 @@ class PointSAModuleMSG(nn.Module):
     pool_method: str = "max_pool"
     axis_name: str | None = None
     approx_query: bool = False
+    # roi-grouped two-stage query (multi_ball_query_grouped): candidates
+    # per roi instead of per grid point; only taken on the approx path
+    group_cand_k: int = 512
     dtype: jnp.dtype | None = None  # MLP compute dtype (params stay f32)
 
     @nn.compact
     def __call__(
         self, xyz, xyz_mask, new_xyz, new_mask, features=None, train: bool = False,
         rotate_matrix=None, xy_scale=None, z_scale=None,
+        group_centers=None, group_size=None,
     ):
         outs = []
-        queries = multi_ball_query(
-            xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
-            approx=self.approx_query,
-        )
+        if (self.approx_query and group_centers is not None
+                and group_size is not None):
+            queries = multi_ball_query_grouped(
+                xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
+                group_centers, group_size, cand_k=self.group_cand_k,
+            )
+        else:
+            queries = multi_ball_query(
+                xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
+                approx=self.approx_query,
+            )
         packed = (
             jnp.concatenate([xyz, features], axis=-1)
             if features is not None else None

@@ -182,3 +182,61 @@ def test_gather_and_grouping_operation():
         for i in idx[b]:
             counts[b, i] += 1
     np.testing.assert_allclose(grad[..., 0], counts)
+
+
+def test_grouped_query_matches_exact_when_balls_fit():
+    """multi_ball_query_grouped == exact per-scale selection whenever (a)
+    the candidate set is complete (cand_k >= N) and (b) every ball holds
+    <= nsample in-range points (no displacement anywhere) — the regime
+    where every selection strategy must agree bitwise."""
+    rng = np.random.RandomState(3)
+    B, R, G, N = 2, 4, 8, 64
+    # sparse cloud: ~N points over a 40m box -> balls hold few points
+    xyz = rng.rand(B, N, 3).astype(np.float32) * 40 - 20
+    mask = rng.rand(B, N) > 0.2
+    centers = rng.rand(B, R, 3).astype(np.float32) * 30 - 15
+    # grid points jittered around their roi center
+    qpts = centers[:, :, None, :] + rng.randn(B, R, G, 3).astype(np.float32)
+    new_xyz = qpts.reshape(B, R * G, 3)
+    new_mask = rng.rand(B, R * G) > 0.1
+    radii, ns = [1.5, 3.0], [8, 16]
+
+    got = group_ops.multi_ball_query_grouped(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz),
+        jnp.asarray(new_mask), radii, ns,
+        jnp.asarray(centers), G, cand_k=N,
+    )
+    want = group_ops.multi_ball_query(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz),
+        jnp.asarray(new_mask), radii, ns, approx=False,
+        shared_candidates=False, chunk=8,
+    )
+    for (gi, ge), (wi, we) in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(ge), np.asarray(we))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_grouped_query_shell_scale_keeps_annulus_points():
+    """With an annulus scale, stage 2 must not displace shell points by
+    inner-radius ones (direct per-scale selection, no nearest-k_max)."""
+    B, R, G = 1, 1, 1
+    N = 40
+    xyz = np.zeros((B, N, 3), np.float32)
+    # 32 points inside r=0.5 (would fill a nearest-32 candidate cut),
+    # 4 points in the annulus [1.0, 2.0]
+    xyz[0, :32, 0] = np.linspace(0.05, 0.45, 32)
+    xyz[0, 32:36, 0] = [1.2, 1.4, 1.6, 1.8]
+    xyz[0, 36:, 0] = 9.0
+    mask = np.ones((B, N), bool)
+    centers = np.zeros((B, R, 3), np.float32)
+    new_xyz = np.zeros((B, R * G, 3), np.float32)
+    new_mask = np.ones((B, R * G), bool)
+
+    out = group_ops.multi_ball_query_grouped(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz),
+        jnp.asarray(new_mask), [(1.0, 2.0), 0.5], [4, 16],
+        jnp.asarray(centers), G, cand_k=N,
+    )
+    shell_idx, shell_empty = out[0]
+    assert not bool(shell_empty[0, 0])
+    np.testing.assert_array_equal(np.sort(np.asarray(shell_idx[0, 0])), [32, 33, 34, 35])
