@@ -104,6 +104,11 @@ class BtcNet(nn.Module):
                 model_cfg=CfgBox(mc.OCC),
                 data_cfg=self.data_cfg,
                 point_cloud_range=self.point_cloud_range,
+                # plumb the real det voxel size: OccSubnet's default is
+                # the flagship 0.05 grid, silently wrong for any other
+                # config (caught by tests/test_golden_full.py — occ-point
+                # det voxel coords came out 2x at the mini 0.1 grid)
+                det_voxel_size=tuple(self.det_voxel_size),
                 axis_name=self.axis_name,
                 fused_vfe_nrf=fused_nrf,
                 name="occ_subnet",

@@ -193,7 +193,14 @@ class OccSubnet(nn.Module):
         if self.head_name not in ("OccHead3D", "OccHead2D"):
             raise KeyError(f"unknown OCC_DENSE_HEAD.NAME {self.head_name!r}")
 
-        self.vfe = vfe.MeanVFE(num_raw_features=4, maxprob=self.maxprob_vfe)
+        # OCC-side VFE is ALWAYS the plain mean: the reference routes
+        # MAX_VFE only to the det-side VFE (`build_vfe`'s `if not occ:`
+        # guard, detector3d_template.py:160-162), and even there OccVFE
+        # never reads its maxprob kwarg — MAX_VFE is dead config in the
+        # flagship. We previously enabled maxprob here; the full-forward
+        # golden chain (tests/test_golden_full.py) caught the mismatch
+        # at the occ backbone input.
+        self.vfe = vfe.MeanVFE(num_raw_features=4, maxprob=False)
         bb_name = self.model_cfg.get("BACKBONE_3D", {}).get(
             "NAME", "VoxelBackBoneDeconv")
         bb_cls = {

@@ -174,8 +174,16 @@ class ConvHead(nn.Module):
 
         rot = None
         if self.point_rot:
-            # reference: rotateMatrix = get_yaw_rotation(-roi_yaw)
-            rot = common.rotation_matrix_z(-rois[..., 6])  # (B, N, 3, 3)
+            # reference: rotateMatrix = torch_get_yaw_rotation(-roi_yaw)
+            # = STANDARD R(-yaw) = [[c, s], [-s, c]](yaw). Our
+            # rotation_matrix_z(t) is the TRANSPOSED convention
+            # ([[c, s], [-s, c]](t), built for p @ R right-multiplies), so
+            # the reference matrix is rotation_matrix_z(+yaw) — passing
+            # -yaw here rotated grouped offsets the WRONG WAY (canonical
+            # +yaw instead of -yaw; self-consistent when trained from
+            # scratch, but wrong for imported reference checkpoints —
+            # caught by tests/test_golden_full.py).
+            rot = common.rotation_matrix_z(rois[..., 6])  # (B, N, 3, 3)
             rot = jnp.broadcast_to(rot[:, :, None], (B, N, G, 3, 3)).reshape(B, N * G, 3, 3)
 
         feats = []
@@ -278,6 +286,32 @@ class ConvHead(nn.Module):
         ]
         bns = [_BN1d(name=f"xc_bn_{i}") for i in range(len(conv_params))]
 
+        def conv_stack(g, m):
+            """Dense conv stack with the reference's SPARSE-site
+            semantics: cells whose interpolated feature is exactly zero
+            are INACTIVE (`interpolate_from_3d_features` keeps only
+            nonzero samples, conv_head.py:528-530), so each 'spconv'
+            layer's output sites are the occupancy dilation of its input
+            sites, BN statistics run over active sites only, and the BN
+            bias never propagates through inactive cells — golden-pinned
+            by tests/test_golden_full.py. g: (R', lz, ly, lx, C);
+            m: (R',) roi validity."""
+            act = (jnp.any(jnp.abs(g) > 0, axis=-1, keepdims=True)
+                   & m[:, None, None, None, None]).astype(jnp.float32)
+            for conv, bn, (k, s, p) in zip(convs, bns, conv_params):
+                g = conv(g)
+                act = jax.lax.conv_general_dilated(
+                    act, jnp.ones(tuple(k) + (1, 1), jnp.float32),
+                    window_strides=tuple(s), padding=[(q, q) for q in p],
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                ) > 0.5
+                sh = g.shape
+                mflat = jnp.broadcast_to(act[..., 0], sh[:-1]).reshape(-1)
+                gflat = bn(g.reshape(-1, sh[-1]), mflat, train)
+                g = jnp.where(act, nn.relu(gflat).reshape(sh), 0.0)
+                act = act.astype(jnp.float32)
+            return g
+
         def pool_chunk(args):
             # bf16 table: the 8 corner gathers are this path's HBM traffic
             dense = x_combine.dense().astype(self.compute_dtype)
@@ -289,13 +323,7 @@ class ConvHead(nn.Module):
                 dense, zyx.reshape(B, M * L, 3)
             )  # (B, M*L, C) f32 accum over bf16 corners
             g = sampled.astype(self.compute_dtype).reshape(B * M, lz, ly, lx, C)
-            m = valid.reshape(B * M)
-            for conv, bn in zip(convs, bns):
-                g = conv(g)
-                sh = g.shape
-                gflat = bn(g.reshape(-1, sh[-1]), jnp.broadcast_to(
-                    m[:, None], (sh[0], sh[1] * sh[2] * sh[3])).reshape(-1), train)
-                g = nn.relu(gflat).reshape(sh)
+            g = conv_stack(g, valid.reshape(B * M))
             return g.reshape(B, M, -1)
 
         # fused Pallas sampler: per-roi windowed one-hot-matmul trilinear
@@ -321,12 +349,7 @@ class ConvHead(nn.Module):
                 jax.lax.stop_gradient(cyx), roi_b, val_r, tile)
             g = sampled.astype(self.compute_dtype).reshape(R * G, lz, ly, lx, C)
             m = jnp.broadcast_to(roi_valid.reshape(R)[:, None], (R, G)).reshape(-1)
-            for conv, bn in zip(convs, bns):
-                g = conv(g)
-                sh = g.shape
-                gflat = bn(g.reshape(-1, sh[-1]), jnp.broadcast_to(
-                    m[:, None], (sh[0], sh[1] * sh[2] * sh[3])).reshape(-1), train)
-                g = nn.relu(gflat).reshape(sh)
+            g = conv_stack(g, m)
             return g.reshape(B, N * G, -1)
 
         # chunk over rois to bound the (B*N*G, lz, ly, lx, C) intermediate

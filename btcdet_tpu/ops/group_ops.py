@@ -275,20 +275,25 @@ def multi_ball_query_grouped(
             nvalid <= tiers[i], lambda: cands_width(tiers[i]), tier(i + 1))
 
     cand = tier(0)()                       # (B, R, cand_k) original idx
-    # gather candidate coords + validity in one pass
+    # gather candidate coords + validity in one FLAT gather (2-D shapes
+    # and flat row ids throughout the tail: batched take_along_axis on
+    # (B,R,G,k) arrays lowered to pathological TPU gathers — the flat
+    # formulation measured 75 -> 45 ms/batch at eval shapes with
+    # bit-identical outputs, tools/microbench_grouped.py)
     packed = jnp.concatenate(
         [xyz, xyz_mask[..., None].astype(xyz.dtype)], axis=-1)
-    cg = jax.vmap(lambda t, ix: t[ix])(packed, cand)   # (B, R, cand_k, 4)
+    grow = cand + (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    cg = packed.reshape(B * N, 4)[grow.reshape(-1)].reshape(B * R, cand_k, 4)
     cand_xyz = cg[..., :3]
     cand_ok = cg[..., 3] > 0.5
 
     # --- stage 2: exact selection among candidates per grid point -------
-    qpts = new_xyz.reshape(B, R, G, 3)
-    d2 = jnp.sum(qpts * qpts, -1)[..., None] + jnp.sum(
-        cand_xyz * cand_xyz, -1)[:, :, None, :] - 2.0 * jnp.einsum(
-        "brgc,brkc->brgk", qpts, cand_xyz,
-        preferred_element_type=jnp.float32)            # (B, R, G, cand_k)
-    cand_okg = cand_ok[:, :, None, :]
+    qp = new_xyz.reshape(B * R, G, 3)
+    d2 = (jnp.sum(qp * qp, -1)[..., None]
+          + jnp.sum(cand_xyz * cand_xyz, -1)[:, None, :]
+          - 2.0 * jnp.einsum("rgc,rkc->rgk", qp, cand_xyz,
+                             preferred_element_type=jnp.float32))
+    # (B*R, G, cand_k)
     if all(lo == 0.0 for lo, _ in r2) and k_max < cand_k:
         # shared nearest-k_max among candidates, then per-scale
         # first-in-order (same two-level shape as one_chunk_shared);
@@ -296,30 +301,35 @@ def multi_ball_query_grouped(
         # all be displaced by inner-radius points, so shells fall through
         # to direct per-scale selection over the full candidate width
         r_out_max = max(hi for _, hi in r2)
-        in_any = (d2 <= r_out_max) & cand_okg
-        neg = jnp.where(in_any, -d2, -BIG)
-        nd, pos = jax.lax.top_k(neg, k_max)            # (B, R, G, k_max)
+        in_any = (d2 <= r_out_max) & cand_ok[:, None, :]
+        neg = jnp.where(in_any, -d2, -BIG).reshape(B * R * G, cand_k)
+        nd, pos = jax.lax.top_k(neg, k_max)            # (B*R*G, k_max)
         sel_d2 = -nd
         sel_ok = nd > -BIG / 2
-        sel_idx = jnp.take_along_axis(
-            jnp.broadcast_to(cand[:, :, None, :], d2.shape), pos, axis=-1)
+        crow = jnp.repeat(jnp.arange(B * R, dtype=jnp.int32) * cand_k, G)
+        sel_idx = cand.reshape(-1)[(pos + crow[:, None]).reshape(-1)].reshape(
+            B * R * G, k_max)
+        sel_w = k_max
     else:
-        sel_d2 = d2
-        sel_ok = cand_okg
-        sel_idx = jnp.broadcast_to(cand[:, :, None, :], d2.shape)
+        sel_d2 = d2.reshape(B * R * G, cand_k)
+        sel_ok = jnp.repeat(cand_ok, G, axis=0).reshape(B * R * G, cand_k)
+        sel_idx = jnp.repeat(cand.reshape(B * R, cand_k), G, axis=0)
+        sel_w = cand_k
 
-    qm = new_mask.reshape(B, R, G)
+    qm = new_mask.reshape(B * R * G)
+    srow = jnp.arange(B * R * G, dtype=jnp.int32) * sel_w
     out = []
     for (lo, hi), ks in zip(r2, nsamples):
         in_s = sel_ok & (sel_d2 <= hi) & (sel_d2 >= lo)
         sc = jnp.where(in_s, -sel_idx.astype(jnp.float32), -BIG)
         ss, p2 = jax.lax.top_k(sc, int(ks))
         found = ss > -BIG / 2
-        sel = jnp.take_along_axis(sel_idx, p2, axis=-1)
-        first = sel[..., 0:1]
+        sel = sel_idx.reshape(-1)[(p2 + srow[:, None]).reshape(-1)].reshape(
+            B * R * G, int(ks))
+        first = sel[:, 0:1]
         sel = jnp.where(found, sel, first)
-        empty = (~found[..., 0]) | ~qm
-        sel = jnp.where(empty[..., None], 0, sel)
+        empty = (~found[:, 0]) | ~qm
+        sel = jnp.where(empty[:, None], 0, sel)
         out.append((sel.reshape(B, RG, int(ks)).astype(jnp.int32),
                     empty.reshape(B, RG)))
     return out

@@ -41,8 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-SUP = 8          # supercell edge (cells)
-SC = 4           # supercells per window axis -> 32x32 cell window
+# window tiling: SC x SC supercells of SUP x SUP cells. The one-hot
+# matmul's K dim is SC^2*SUP^2 rows, so smaller supercells cut FLOPs
+# directly; the binding constraint is coverage — window start granularity
+# is SUP cells, so the guaranteed reach from a roi center is
+# (SC*SUP - SUP)/2 cells, and flagship rois need ~9.4 (roi grid spread
+# ~3.8 + local sample grid ~5.6). 6x4 = 24-cell windows reach 10 cells
+# with 576 rows (was 8x8/SC=4: 32-cell window, 12-cell reach, 1024 rows
+# — 1.8x the matmul work for margin the rois never use).
+SUP = 4          # supercell edge (cells)
+SC = 6           # supercells per window axis -> 24x24 cell window
 
 
 def _round_up(n, m):

@@ -167,12 +167,12 @@ def merge_points_into_voxels(
     ).astype(jnp.int32)
 
     c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
-    inr = (
-        (c[:, 0] >= 0) & (c[:, 0] < nxd)
-        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
-        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
-    )
-    ok = ovalid & inr
+    # reference `trans_voxel_grid` (add_occ_template.py:78-88) CLAMPS
+    # out-of-range occ points into edge voxels rather than dropping them
+    # (the occ cylinder range's cartesian footprint exceeds the det box,
+    # so edge points are routine); golden-pinned by test_golden_full
+    c = jnp.clip(c, 0, jnp.asarray([nxd - 1, nyd - 1, nzd - 1], jnp.int32))
+    ok = ovalid
     okey = jnp.where(
         ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
     ).astype(jnp.int32)
@@ -259,12 +259,12 @@ def merge_points_into_voxels_v2(
     ).astype(jnp.int32)
 
     c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
-    inr = (
-        (c[:, 0] >= 0) & (c[:, 0] < nxd)
-        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
-        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
-    )
-    ok = ovalid & inr
+    # reference `trans_voxel_grid` (add_occ_template.py:78-88) CLAMPS
+    # out-of-range occ points into edge voxels rather than dropping them
+    # (the occ cylinder range's cartesian footprint exceeds the det box,
+    # so edge points are routine); golden-pinned by test_golden_full
+    c = jnp.clip(c, 0, jnp.asarray([nxd - 1, nyd - 1, nzd - 1], jnp.int32))
+    ok = ovalid
     okey = jnp.where(
         ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
     ).astype(jnp.int32)
@@ -375,12 +375,12 @@ def merge_points_into_voxel_features(
     ).astype(jnp.int32)
 
     c = jnp.floor((opts[:, :3] - lo) / vs).astype(jnp.int32)
-    inr = (
-        (c[:, 0] >= 0) & (c[:, 0] < nxd)
-        & (c[:, 1] >= 0) & (c[:, 1] < nyd)
-        & (c[:, 2] >= 0) & (c[:, 2] < nzd)
-    )
-    ok = ovalid & inr
+    # reference `trans_voxel_grid` (add_occ_template.py:78-88) CLAMPS
+    # out-of-range occ points into edge voxels rather than dropping them
+    # (the occ cylinder range's cartesian footprint exceeds the det box,
+    # so edge points are routine); golden-pinned by test_golden_full
+    c = jnp.clip(c, 0, jnp.asarray([nxd - 1, nyd - 1, nzd - 1], jnp.int32))
+    ok = ovalid
     okey = jnp.where(
         ok, (c[:, 2] * nyd + c[:, 1]) * nxd + c[:, 0], INT32_MAX
     ).astype(jnp.int32)

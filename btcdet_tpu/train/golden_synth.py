@@ -77,7 +77,16 @@ GOLDEN_MINI_DATA = {
     # restore the grid exactly ((d-1)/2+1 must stay odd twice; flagship
     # 209x157x9 all satisfy this). 29 x 41 x 9 here.
     "OCC_POINT_CLOUD_RANGE": [2.0, -41.0, -2.6, 16.5, 41.0, 1.45],
-    "SUPPORT_SPHERE_RANGE": [2.0, -41.0, -16.6, 16.5, 41.0, 4.0, 2.0],
+    # sphere azimuth binning OFFSET by half a bin from the occ grid's, so
+    # every sphere cell corner sits 1.0 deg inside a cylinder bin: the
+    # reference's f32 corner roundtrip (occ_from_cylin_ocp) then truncates
+    # to the same cell as exact f64 math — verified f64 == torch-f32 ==
+    # numpy-f32 bitwise at this geometry. (At the flagship's SHARED
+    # binning, corners sit ON boundaries and the reference's map is
+    # implementation-defined at ~4% of cells — numpy-f32, torch-f32 CPU
+    # and CUDA each give a different jitter set; our analytic map is the
+    # bit-stable choice, see docs/PARITY_RISKS.md.)
+    "SUPPORT_SPHERE_RANGE": [2.0, -42.0, -16.6, 16.5, 42.0, 4.0, 2.0],
     "DET_VOXEL_SIZE": [0.1, 0.1, 0.1],
     "DET_MAX_POINTS_PER_VOXEL": 5,
     "DET_MAX_VOXELS": 4000,
@@ -113,6 +122,11 @@ def apply_golden_mini(cfg, is_reference: bool):
     m = cfg.MODEL
     m.OCC.PARAMS.MAX_NUM_OCC_PNTS = g["MAX_NUM_OCC_PNTS"]
     m.OCC.PARAMS.EVAL_MAX_NUM_OCC_PNTS = g["MAX_NUM_OCC_PNTS"]
+    # full headroom for the merged det+occ voxel table: random-weight occ
+    # nets emit spatially-spread points, so the shipped K//4 heuristic
+    # (real occ points cluster on objects) would silently truncate here
+    # (ours-only key; the reference re-voxelizes without a cap)
+    m.OCC.OCC_PNT_UPDATE.MERGED_CAP_EXTRA = g["MAX_NUM_OCC_PNTS"]
     m.ROI_HEAD.NMS_CONFIG.TEST.NMS_PRE_MAXSIZE = g["NMS_PRE"]
     m.ROI_HEAD.NMS_CONFIG.TEST.NMS_POST_MAXSIZE = g["NMS_POST"]
     m.POST_PROCESSING.NMS_CONFIG.NMS_PRE_MAXSIZE = g["NMS_PRE"]

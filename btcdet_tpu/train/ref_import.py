@@ -241,8 +241,27 @@ def _map_bev2d(flat_all, flat_params, rest, n_per_block):
         conv_idx = conv_base + up_before + k  # Conv_<n> counter incl. 1x1 ups
         bn_idx = conv_base + up_before + k
         if not is_bn:
+            tr = t_conv2d
+            if b == 0 and k == 0:
+                # VERY FIRST conv consumes the height-compressed BEV map,
+                # whose channel interleave differs: reference
+                # `.dense().view(B, C*D, H, W)` is C-major (c*D + d,
+                # height_compression.py:21-24); our HC folds z-major
+                # (d*C + c, map_to_bev.py). Reorder the input axis —
+                # same class of silent scramble t_fc_pooled fixes for the
+                # rcnn FC (caught by tests/test_golden_full.py, stage
+                # spatial_features_2d).
+                def tr(w, _t=t_conv2d):
+                    w = np.asarray(w)
+                    co, cd, kh, kw = w.shape
+                    C = 128  # det conv_out channels (manifest-fixed)
+                    D = cd // C
+                    if D > 1 and C * D == cd:
+                        w = w.reshape(co, C, D, kh, kw).transpose(
+                            0, 2, 1, 3, 4).reshape(co, cd, kh, kw)
+                    return _t(w)
             return ("params", ("det_backbone_2d", f"Conv_{conv_idx}", "kernel"),
-                    t_conv2d) if leaf == "weight" else None
+                    tr) if leaf == "weight" else None
         if leaf == "num_batches_tracked":
             return None
         coll, name, tr = _BN_PARTS[leaf]

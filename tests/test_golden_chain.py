@@ -63,7 +63,18 @@ def test_dense_chain_matches_reference():
         pc_range, grid, anchor_cfg)
     net = _DenseChain(anchors=anchors, anchor_class=anchor_class, per_loc=per_loc)
 
-    x = jnp.asarray(fx["input"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    # NCHW -> NHWC, then reorder the BEV channel interleave to OUR
+    # height-compression layout: reference .view(B, C*D, H, W) is C-major
+    # (c*D+d), our HC folds z-major (d*C+c) — ref_import now permutes the
+    # first conv's input axis to match (map_reference_state b0/k0 rule),
+    # so the golden input must arrive in our layout too
+    xin = fx["input"]
+    B0, CD, H0, W0 = xin.shape
+    C0 = 128
+    D0 = CD // C0
+    xin = xin.reshape(B0, C0, D0, H0, W0).transpose(0, 2, 1, 3, 4).reshape(
+        B0, CD, H0, W0)
+    x = jnp.asarray(xin.transpose(0, 2, 3, 1))  # NCHW -> NHWC
     variables = net.init(jax.random.PRNGKey(0), x)
 
     sd = {k[4:]: fx[k] for k in fx.files if k.startswith("sd::")}

@@ -177,12 +177,47 @@ def main():
     def dense_np(st):
         return st.dense().detach().numpy()
 
+    # per-level occ backbone captures (localize deconv/conv import bugs)
+    occ_bb = model.occ_modules.backbone_3d
+    for lvl in ("conv1", "conv2", "conv3", "deconv4", "deconv5"):
+        def mk_hook(name):
+            def hook(mod, inp, out):
+                caps[f"occ_bb_{name}"] = dense_np(out)
+            return hook
+        getattr(occ_bb, lvl).register_forward_hook(mk_hook(lvl))
+
+    # ConvHead branch captures: SA pooled features + xc conv output
+    rh = model.det_modules.roi_head
+    def sa_hook(name):
+        def hook(mod, inp, out):
+            caps[name] = out[1].detach().numpy()  # (M, C) pooled features
+        return hook
+    if hasattr(rh, "SA_rawpoints"):
+        rh.SA_rawpoints.register_forward_hook(sa_hook("roi_sa_raw"))
+    if hasattr(rh, "SA_occpoints"):
+        rh.SA_occpoints.register_forward_hook(sa_hook("roi_sa_occ"))
+    for nm, lyr in zip(rh.conv_layer_names, rh.conv_layers):
+        def xc_hook(name):
+            def hook(mod, inp, out):
+                caps[f"roi_xc_{name}"] = out.dense().detach().numpy()
+            return hook
+        lyr.register_forward_hook(xc_hook(nm))
+
     with torch.no_grad(), _CpuOnly():
         bd = ref_batch
         for mod in model.occ_module_list:
             bd = mod(bd)
             name = type(mod).__name__
-            if name == "MeanVFE":
+            if name == "OccTargets3D":
+                for mk in ("vcc_mask", "voxelwise_mask", "occ_voxelwise_mask",
+                           "fore_voxelwise_mask", "bm_voxelwise_mask",
+                           "occ_fore_cls_mask", "occ_mirr_cls_mask",
+                           "occ_bm_cls_mask", "pos_mask",
+                           "general_cls_loss_mask", "forebox_label",
+                           "general_reg_loss_mask", "res_mtrx"):
+                    if mk in bd and torch.is_tensor(bd[mk]):
+                        caps["tgt_" + mk] = bd[mk].detach().numpy()
+            elif name == "MeanVFE":
                 caps["occ_vfe_features"] = bd["voxel_features"].detach().numpy()
             elif name == "VoxelBackBoneDeconv":
                 caps["occ_backbone_dense"] = dense_np(bd["encoded_spconv_tensor"])
@@ -192,6 +227,9 @@ def main():
                 caps["merged_voxel_coords"] = bd["voxel_coords"].detach().numpy()
                 caps["merged_voxels"] = bd["voxels"].detach().numpy()
                 caps["merged_voxel_num_points"] = bd["voxel_num_points"].detach().numpy()
+                caps["added_occ_xyz"] = bd["added_occ_xyz"].detach().numpy()
+                caps["added_occ_b"] = bd["added_occ_b_ind"].detach().numpy()
+                caps["occ_pnts"] = bd["occ_pnts"].detach().numpy()
         for mod in model.det_module_list:
             bd = mod(bd)
             name = type(mod).__name__
