@@ -96,6 +96,21 @@ class SparseConvBlock(nn.Module):
         return st
 
 
+# Eval-time per-level width tiering (VERDICT r4 next #6): the strided
+# convs emit key-sorted valid-first tables padded to the static
+# LEVEL_CAPACITIES (sized for worst-case dilation), while live occupancy
+# runs ~40-60% of cap on KITTI-like scans — the subm pairs at L2/L3 pay
+# the padding in rulebook lookups, gathers and BN rows. A level's subm
+# tail is width-preserving, so running it on the smallest static prefix
+# covering nnz and zero-padding back to cap is bitwise exact. Tiering is
+# per-LEVEL-SEGMENT (pad back to cap before the next strided conv), so
+# branch count grows additively per level, not multiplicatively.
+# Skipped below this PER-FRAME capacity (tiny test configs) and at train
+# (smaller caps; BN batch stats mutate inside branches). Tests
+# monkeypatch it.
+LEVEL_TIER_MIN_CAPACITY = 6_000
+
+
 class VoxelBackBone8xOcc(nn.Module):
     """Detection 3D backbone; see module docstring. Returns a dict with
     `encoded` (stride-8, z-squeezed), `x_combine`, and the per-level
@@ -127,6 +142,48 @@ class VoxelBackBone8xOcc(nn.Module):
             indice_key=key, activation=act, out_capacity=cap, name=name,
             axis_name=self.axis_name,
         )
+
+    def _width_tiered(self, st, occ_st, seg, train: bool):
+        """Run `seg(mdl, st_w, occ_w)` (a width-preserving subm tail;
+        occ_w row-aligned with st_w or None) at the smallest static
+        prefix width covering st.nnz, padding the result back to st's
+        capacity. Bitwise exact at eval: the table is key-sorted
+        valid-first, the tail is width-preserving, and BN runs on
+        running stats (see LEVEL_TIER_MIN_CAPACITY note)."""
+        cap = st.keys.shape[0]
+        if (train or cap // max(int(st.batch_size), 1)
+                < LEVEL_TIER_MIN_CAPACITY):
+            return seg(self, st, occ_st, {})
+
+        def rup(w):  # Pallas tile alignment
+            return -(-w // 256) * 256
+
+        tiers = [w for w in (rup(cap // 4), rup(cap // 2)) if w < cap]
+        if not tiers:
+            return seg(self, st, occ_st, {})
+
+        def at(width):
+            def f(mdl, s, o):
+                sw = sparse.prefix(s, width) if width < cap else s
+                ow = (sparse.prefix(o, width)
+                      if (o is not None and width < cap) else o)
+                # fresh rulebook cache per branch: subm rulebooks are
+                # keyed by indice_key, and a rulebook built at one tier
+                # width must not leak into another branch's width
+                out = seg(mdl, sw, ow, {})
+                return sparse.pad_capacity(out, cap)
+            return f
+
+        def chain(i):
+            if i == len(tiers):
+                return at(cap)
+
+            def f(mdl, s, o):
+                return nn.cond(s.nnz <= tiers[i], at(tiers[i]),
+                               chain(i + 1), mdl, s, o)
+            return f
+
+        return chain(0)(self, st, occ_st)
 
     def _cap(self, level: int, train: bool = False, batch_size: int = 1) -> int | None:
         """Per-frame config capacities scale with the batch (one table
@@ -173,15 +230,27 @@ class VoxelBackBone8xOcc(nn.Module):
         x_occ = occ_st
         if occ_st is not None and len(exec_) > 1:
             x_occ = self._occ_down(1)(occ_st, cache, train) if self.occ_conv_type[1] != "identity" else occ_st
-            if exec_[1]:
-                x_conv2 = x_conv2.replace(
-                    features=jnp.concatenate([x_conv2.features, x_occ.features], axis=-1)
-                )
-                if self.out_att[1]:
-                    att = self._block(ch[1] + add[1], 3, p=1, key="subm2", name="att_conv2", act="leaky_relu")(x_conv2, cache, train)
-                    x_conv2 = x_conv2.replace(features=x_conv2.features * att.features + x_conv2.features)
-        x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_0")(x_conv2, cache, train)
-        x_conv2 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_1")(x_conv2, cache, train)
+        # L2 subm tail (occ concat + att + combine pair), width-tiered:
+        # x_occ shares the spconv2 rulebook, so it is row-aligned with
+        # x_conv2 and prefixes identically inside the tier
+        cat2 = occ_st is not None and len(exec_) > 1 and exec_[1]
+        att2 = (self._block(ch[1] + add[1], 3, p=1, key="subm2",
+                            name="att_conv2", act="leaky_relu")
+                if (cat2 and self.out_att[1]) else None)
+        c2_0 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_0")
+        c2_1 = self._block(ch[1], 3, p=1, key="subm2", name="conv2_combine_1")
+
+        def seg2(mdl, s, o, bcache):
+            if cat2:
+                s = s.replace(features=jnp.concatenate(
+                    [s.features, o.features], axis=-1))
+                if att2 is not None:
+                    a = att2(s, bcache, train)
+                    s = s.replace(features=s.features * a.features + s.features)
+            s = c2_0(s, bcache, train)
+            return c2_1(s, bcache, train)
+
+        x_conv2 = self._width_tiered(x_conv2, x_occ if cat2 else None, seg2, train)
         if stop_after == "conv2":
             return {"x_conv2": x_conv2}
 
@@ -190,12 +259,18 @@ class VoxelBackBone8xOcc(nn.Module):
             return {"x_conv3": x_conv3}
         if occ_st is not None and len(exec_) > 2:
             x_occ = self._occ_down(2)(x_occ, cache, train)
-            if exec_[2]:
-                x_conv3 = x_conv3.replace(
-                    features=jnp.concatenate([x_conv3.features, x_occ.features], axis=-1)
-                )
-        x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_0")(x_conv3, cache, train)
-        x_conv3 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_1")(x_conv3, cache, train)
+        cat3 = occ_st is not None and len(exec_) > 2 and exec_[2]
+        c3_0 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_0")
+        c3_1 = self._block(ch[2], 3, p=1, key="subm3", name="conv3_combine_1")
+
+        def seg3(mdl, s, o, bcache):
+            if cat3:
+                s = s.replace(features=jnp.concatenate(
+                    [s.features, o.features], axis=-1))
+            s = c3_0(s, bcache, train)
+            return c3_1(s, bcache, train)
+
+        x_conv3 = self._width_tiered(x_conv3, x_occ if cat3 else None, seg3, train)
         if stop_after == "conv3":
             return {"x_conv3": x_conv3}
 
