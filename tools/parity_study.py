@@ -154,8 +154,10 @@ def main():
             "--epochs", str(args.epochs),
             "--batch_size", str(args.batch_size),
             "--workers", "2",
-            "--ckpt_save_interval", str(args.epochs),
-            "--max_ckpt_save_num", "1",
+            # save every 20 epochs so a TPU-worker crash mid-run
+            # resumes instead of restarting (train.py auto-resume)
+            "--ckpt_save_interval", "20",
+            "--max_ckpt_save_num", "3",
             "--num_epochs_to_eval", "0",
         ]
         print("running:", " ".join(cmd), flush=True)
