@@ -151,7 +151,14 @@ class VoxelBackBone8xOcc(nn.Module):
         valid-first, the tail is width-preserving, and BN runs on
         running stats (see LEVEL_TIER_MIN_CAPACITY note)."""
         cap = st.keys.shape[0]
-        if (train or cap // max(int(st.batch_size), 1)
+        # is_initializing: params are width-independent, and creating the
+        # tail's compact children for the FIRST time inside a lifted
+        # nn.cond branch leaks their init tracers when the whole init is
+        # itself jitted (jax.jit(net.init) -> UnexpectedTracerError);
+        # setup-registered submodules (btcnet._tiered_backbone's target)
+        # don't hit this. Init runs the plain full-width path instead.
+        if (train or self.is_initializing()
+                or cap // max(int(st.batch_size), 1)
                 < LEVEL_TIER_MIN_CAPACITY):
             return seg(self, st, occ_st, {})
 
