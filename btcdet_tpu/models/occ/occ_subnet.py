@@ -36,6 +36,14 @@ from . import occ_targets as T
 # test configs run the single full-width path. Tests monkeypatch it.
 MERGE_TIER_MIN = 8192
 
+# Tiered PER-FRAME width for the occ-voxel point chain (targets +
+# occlusion scatter + VFE; see `OccSubnet.__call__`): its cost scales
+# with the static voxel cap while real KITTI FOV occupancy runs well
+# under the 40k eval cap. Skipped below this per-frame cap so train
+# (20k, near-full) and tiny test configs pay no branch compile. Tests
+# monkeypatch it.
+OCC_POINT_TIER_MIN_CAPACITY = 24_000
+
 
 def db_proj_expand(xyz, tail, valid, src_cell, rot_z, *,
                    det_lo, det_vs, det_grid, occ_lo, occ_vs, coord_type,
@@ -272,18 +280,6 @@ class OccSubnet(nn.Module):
         )
 
         N, P, C = voxels.shape
-        slot_mask = jnp.arange(P)[None, :] < vnum[:, None]
-        coord_valid = vcoords[:, 0] >= 0
-        slot_mask = slot_mask & coord_valid[:, None]
-
-        # convert stored occ-coord channels to cartesian (world frame)
-        pts_abs = coords.occ_uvd_to_absxyz(
-            voxels[..., 0], voxels[..., 1], voxels[..., 2], spec.coord_type
-        )
-        occ_pnts = jnp.concatenate([pts_abs, voxels[..., 3:]], axis=-1)
-        vfe_voxels = occ_pnts if self.use_absxyz in (True, "absxyz") else voxels
-        if self.use_absxyz == "both":
-            vfe_voxels = jnp.concatenate([pts_abs, voxels], axis=-1)
 
         # voxel dropout augmentation (reference `occ_targets_template.py`
         # dropout:305-328): per-frame ratio r~U(0,DROPOUT_RATE), then
@@ -297,23 +293,83 @@ class OccSubnet(nn.Module):
             drop_rows = (
                 jax.random.uniform(d_rng, (vcoords.shape[0],))
                 < ratios[jnp.clip(vcoords[:, 0], 0, B - 1)]
-            ) & coord_valid
+            ) & (vcoords[:, 0] >= 0)
 
-        targets = self._make_targets(
-            occ_pnts, slot_mask, vcoords, gt_boxes, mirr_flag, batch, rot_z, B,
-            train, drop_rows=drop_rows,
-        )
-        if drop_rows is not None:
-            vfe_voxels = jnp.where(drop_rows[:, None, None], 0.0, vfe_voxels)
+        def point_chain(vox_w, vc_w, vn_w, drop_w):
+            """Targets + VFE + dense scatter at an occ-voxel table width.
+            Every output is a dense (B, nz, ny, nx[, C]) grid (or None),
+            so prefix widths >= the per-frame nnz produce IDENTICAL
+            results: rows beyond nnz are padding (b < 0) that no-ops in
+            every scatter and zeroes out of the VFE."""
+            P_w = vox_w.shape[1]
+            slot_w = jnp.arange(P_w)[None, :] < vn_w[:, None]
+            cvalid = vc_w[:, 0] >= 0
+            slot_w = slot_w & cvalid[:, None]
+            pts_abs_w = coords.occ_uvd_to_absxyz(
+                vox_w[..., 0], vox_w[..., 1], vox_w[..., 2], spec.coord_type
+            )
+            occ_pnts_w = jnp.concatenate([pts_abs_w, vox_w[..., 3:]], axis=-1)
+            vfe_w = occ_pnts_w if self.use_absxyz in (True, "absxyz") else vox_w
+            if self.use_absxyz == "both":
+                vfe_w = jnp.concatenate([pts_abs_w, vox_w], axis=-1)
+            tgt = self._make_targets(
+                occ_pnts_w, slot_w, vc_w, gt_boxes, mirr_flag, batch, rot_z,
+                B, train, drop_rows=drop_w,
+            )
+            if drop_w is not None:
+                vfe_w = jnp.where(drop_w[:, None, None], 0.0, vfe_w)
+            feat = self.vfe(vfe_w, jnp.where(cvalid, vn_w, 0))
+            ncell = nz * ny * nx
+            lin = (vc_w[:, 1] * ny + vc_w[:, 2]) * nx + vc_w[:, 3]
+            idx = jnp.where(cvalid, vc_w[:, 0] * ncell + lin, B * ncell)
+            dense = jnp.zeros(
+                (B * ncell + 1, feat.shape[-1]), feat.dtype
+            ).at[idx].set(jnp.where(cvalid[:, None], feat, 0.0))[:-1].reshape(
+                B, nz, ny, nx, -1)
+            return tgt, dense
 
-        # ---- VFE + dense backbone
-        feat = self.vfe(vfe_voxels, jnp.where(coord_valid, vnum, 0))
-        ncell = nz * ny * nx
-        lin = (vcoords[:, 1] * ny + vcoords[:, 2]) * nx + vcoords[:, 3]
-        idx = jnp.where(coord_valid, vcoords[:, 0] * ncell + lin, B * ncell)
-        dense = jnp.zeros((B * ncell + 1, feat.shape[-1]), feat.dtype).at[idx].set(
-            jnp.where(coord_valid[:, None], feat, 0.0)
-        )[:-1].reshape(B, nz, ny, nx, -1)
+        # Width tiering of the POINT-side chain (the occlusion scatter,
+        # point-in-box and VFE costs scale with the static occ voxel cap,
+        # not live occupancy; real KITTI FOV runs ~16k of the 40k eval
+        # cap). Voxel rows are per-frame contiguous [valid | pad] blocks
+        # (collate contract, same layout mirror_points_in_boxes_blocked
+        # relies on), so a per-frame prefix >= the max per-frame nnz is
+        # exact. lax.cond (not nn.cond) is safe here: the chain creates
+        # no flax variables and draws no rngs at eval.
+        cap_pf = N // B
+        if (train or drop_rows is not None or self.is_initializing()
+                or cap_pf < OCC_POINT_TIER_MIN_CAPACITY):
+            targets, dense = point_chain(voxels, vcoords, vnum, drop_rows)
+        else:
+            vox_b = voxels.reshape(B, cap_pf, P, C)
+            vc_b = vcoords.reshape(B, cap_pf, 4)
+            vn_b = vnum.reshape(B, cap_pf)
+            nnz_pf = jnp.max(jnp.sum(vc_b[:, :, 0] >= 0, axis=1))
+
+            def rup(w):
+                return -(-w // 1024) * 1024
+
+            tiers = list(dict.fromkeys(
+                w for w in (rup(cap_pf // 4), rup(cap_pf // 2))
+                if w < cap_pf))
+
+            def at_width(W):
+                def f():
+                    if W >= cap_pf:
+                        return point_chain(voxels, vcoords, vnum, None)
+                    return point_chain(
+                        vox_b[:, :W].reshape(B * W, P, C),
+                        vc_b[:, :W].reshape(B * W, 4),
+                        vn_b[:, :W].reshape(B * W), None)
+                return f
+
+            def chain(i):
+                if i == len(tiers):
+                    return at_width(cap_pf)
+                return lambda: jax.lax.cond(
+                    nnz_pf <= tiers[i], at_width(tiers[i]), chain(i + 1))
+
+            targets, dense = chain(0)()
 
         x, mask = self.backbone(dense, targets["voxelwise_mask"], train=train)
         if self.head_name == "OccHead2D":

@@ -200,3 +200,29 @@ def test_level_tiered_backbone_matches_full_width(monkeypatch):
     for k in ("encoded_features", "batch_box_preds", "rpn_cls_preds"):
         np.testing.assert_array_equal(
             np.asarray(out_full[k]), np.asarray(out_tier[k]), err_msg=k)
+
+
+def test_occ_point_tiered_chain_matches_full_width(monkeypatch):
+    """Eval forward with the occ POINT-side width tier (occ_subnet
+    `point_chain` under lax.cond: targets + occlusion scatter + VFE run
+    on a per-frame voxel-table prefix covering nnz) must equal the
+    untiered forward bitwise — every chain output is a dense grid and
+    padding rows no-op in every scatter (round 5, occ byte diet)."""
+    from btcdet_tpu.models.occ import occ_subnet as occ_mod
+
+    data_cfg = mini_data_cfg(with_occ=True)
+    model_cfg = mini_model_cfg(with_occ=True)
+    net = build_network(model_cfg, data_cfg, ["Car"])
+    batch = to_jnp(make_synthetic_batch(data_cfg, batch_size=2, num_points=4096, num_gt=4))
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = net.init(rngs, batch, train=False)
+
+    monkeypatch.setattr(occ_mod, "OCC_POINT_TIER_MIN_CAPACITY", 10**9)
+    out_full = net.apply(variables, batch, train=False)
+    monkeypatch.setattr(occ_mod, "OCC_POINT_TIER_MIN_CAPACITY", 1)
+    out_tier = net.apply(variables, batch, train=False)
+    for k in ("encoded_features", "batch_box_preds", "rpn_cls_preds",
+              "occ_points", "occ_points_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(out_full[k]), np.asarray(out_tier[k]), err_msg=k)
