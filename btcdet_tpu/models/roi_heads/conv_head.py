@@ -331,7 +331,7 @@ class ConvHead(nn.Module):
         # gather is this branch's dominant cost (~13 ms/frame eval)
         from ...ops import pallas_interp
         S = G * L
-        tile = pallas_interp.pick_tile(S)
+        tile = pallas_interp.pick_tile(S, D=int(x_combine.spatial_shape[0]))
         if (sparse.use_pallas("interp") and C <= 128
                 and x_combine.spatial_shape[0] <= 11 and tile is not None):
             R = B * N

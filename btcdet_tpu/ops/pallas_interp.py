@@ -57,10 +57,17 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-def pick_tile(S: int) -> int | None:
-    """Largest sample-tile size (multiple of 8, <= 512) dividing S, or
-    None when S has no usable divisor."""
-    for t in range(min(S, 512), 7, -1):
+def pick_tile(S: int, D: int = 11) -> int | None:
+    """Largest sample-tile size (multiple of 8) dividing S that fits the
+    VMEM budget, or None when S has no usable divisor. Larger tiles
+    amortize per-grid-step overhead: at flagship shapes 288 -> 1296
+    measured 53 -> 43 ms (B=8); the bound keeps the kernel's live
+    f32 intermediates (onehot, al, out) + the bf16 window under ~12 MB."""
+    budget = 14 << 20
+    win = SC * SC * SUP * SUP * D * LANES * 2
+    per_t = (D * LANES + SC * SC * SUP * SUP + LANES + 8) * 4
+    cap = max((budget - win) // per_t, 8)
+    for t in range(min(S, cap), 7, -1):
         if t % 8 == 0 and S % t == 0:
             return t
     return None
@@ -85,72 +92,62 @@ def _make_kernel(T: int, D: int):
     DC = D * LANES
     NROWS = SC * SC * SUP * SUP
 
-    def kern(sb_ref, sy_ref, sx_ref, *refs):
+    def kern(sb_ref, sy_ref, sx_ref, first_ref, *refs):
         sup_refs = refs[:SC * SC]
         cds_ref = refs[SC * SC]
         out_ref = refs[SC * SC + 1]
+        win_scr = refs[SC * SC + 2]
         # cds (1, T, 8): yl, xl, z, valid  (block-local float voxel coords)
         yl = cds_ref[0, :, 0]
         xl = cds_ref[0, :, 1]
         z = cds_ref[0, :, 2]
         valid = cds_ref[0, :, 3] > 0.5
 
-        y0f = jnp.floor(yl)
-        x0f = jnp.floor(xl)
-        iy = y0f.astype(jnp.int32)
-        ix = x0f.astype(jnp.int32)
-        wy1 = yl - y0f
-        wx1 = xl - x0f
+        t = pl.program_id(0)
 
-        # static window cell codes, supercell-major (row r of the block)
-        code_rows = jax.lax.broadcasted_iota(jnp.int32, (T, NROWS), 1)
+        # The window concat is ~1.6 MB of VMEM copies; consecutive tiles
+        # of one roi share the window, so build it in persistent scratch
+        # only on the roi's first tile (Mosaic already skips the ref
+        # re-DMA for unchanged block indices).
+        @pl.when(first_ref[t] != 0)
+        def _build_window():
+            for k, r in enumerate(sup_refs):
+                win_scr[k * SUP * SUP:(k + 1) * SUP * SUP, :] = r[0, 0, 0]
 
-        onehot = jnp.zeros((T, NROWS), jnp.float32)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                cy = iy + dy
-                cx = ix + dx
-                ok = (
-                    valid & (cy >= 0) & (cy < SC * SUP)
-                    & (cx >= 0) & (cx < SC * SUP)
-                )
-                code = ((cy // SUP) * SC + (cx // SUP)) * (SUP * SUP) \
-                    + (cy % SUP) * SUP + (cx % SUP)
-                w = (wy1 if dy else 1.0 - wy1) * (wx1 if dx else 1.0 - wx1)
-                w = jnp.where(ok, w, 0.0)
-                onehot = onehot + w[:, None] * (
-                    code_rows == code[:, None]).astype(jnp.float32)
+        # Bilinear weights as a separable hat product over the window's
+        # static cell coordinates: relu(1-|yl-ry|)*relu(1-|xl-rx|) equals
+        # the 4-corner (1-w)/w selection exactly (for ry=floor(yl):
+        # 1-|yl-ry| = 1-wy1; ry=floor+1: 1-|..| = wy1; 0 beyond) at ~half
+        # the VPU passes of the old per-corner compare-accumulate.
+        code_rows = jax.lax.broadcasted_iota(jnp.int32, (1, NROWS), 1)
+        sup_i = code_rows // (SUP * SUP)
+        intra = code_rows % (SUP * SUP)
+        ry = ((sup_i // SC) * SUP + intra // SUP).astype(jnp.float32)
+        rx = ((sup_i % SC) * SUP + intra % SUP).astype(jnp.float32)
+        wy = jnp.maximum(1.0 - jnp.abs(yl[:, None] - ry), 0.0)
+        wx = jnp.maximum(1.0 - jnp.abs(xl[:, None] - rx), 0.0)
+        onehot = jnp.where(valid[:, None], wy * wx, 0.0)
 
-        # window = SC*SC single-supercell blocks, (i, j)-major to match
-        # the row-code formula
-        win = jnp.concatenate([r[0, 0, 0] for r in sup_refs], axis=0)
         al = jax.lax.dot_general(
-            onehot.astype(jnp.bfloat16), win,
+            onehot.astype(jnp.bfloat16), win_scr[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (T, D*128)
 
-        # z interpolation: lane-iota weights + static lane-slice reduce
-        z0f = jnp.floor(z)
-        iz = z0f.astype(jnp.int32)
-        wz1 = z - z0f
-        lane_d = jax.lax.broadcasted_iota(jnp.int32, (T, DC), 1) // LANES
-        wz = (
-            jnp.where((lane_d == iz[:, None]) & (iz >= 0)[:, None]
-                      & (iz < D)[:, None], (1.0 - wz1)[:, None], 0.0)
-            + jnp.where((lane_d == iz[:, None] + 1) & (iz + 1 >= 0)[:, None]
-                        & (iz + 1 < D)[:, None], wz1[:, None], 0.0)
-        )
-        prod = al * wz
+        # z interpolation, same hat identity per depth slice (out-of-range
+        # z decays to zero weight exactly like the old masked iz/iz+1
+        # selection); per-slice (T, 128) FMAs beat materializing a full
+        # (T, D*128) weight grid
         acc = jnp.zeros((T, LANES), jnp.float32)
         for d in range(D):
-            acc = acc + prod[:, d * LANES:(d + 1) * LANES]
+            wd = jnp.maximum(1.0 - jnp.abs(z - float(d)), 0.0)
+            acc = acc + al[:, d * LANES:(d + 1) * LANES] * wd[:, None]
         out_ref[:] = acc
 
     return kern
 
 
 @functools.partial(jax.jit, static_argnames=("T", "D", "interpret"))
-def _interp_call(volp, cds, sb, sy, sx, *, T, D, interpret=False):
+def _interp_call(volp, cds, sb, sy, sx, first, *, T, D, interpret=False):
     Bv, H8, W8, _, DC = volp.shape
     tiles = cds.shape[0]
 
@@ -158,26 +155,31 @@ def _interp_call(volp, cds, sb, sy, sx, *, T, D, interpret=False):
     # size 1, so the scalar-prefetched starts are element-granular
     # (BlockSpec index maps are in units of the block shape)
     def sup_spec(i, j):
-        idx = lambda t, sb, sy, sx, i=i, j=j: (sb[t], sy[t] + i, sx[t] + j, 0, 0)
+        idx = lambda t, sb, sy, sx, first, i=i, j=j: (
+            sb[t], sy[t] + i, sx[t] + j, 0, 0)
         return pl.BlockSpec((1, 1, 1, SUP * SUP, DC), idx,
                             memory_space=pltpu.VMEM)
 
     in_specs = [sup_spec(i, j) for i in range(SC) for j in range(SC)]
-    in_specs.append(pl.BlockSpec((1, T, 8), lambda t, sb, sy, sx: (t, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(
+        (1, T, 8), lambda t, sb, sy, sx, first: (t, 0, 0),
+        memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, LANES), lambda t, sb, sy, sx: (t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (T, LANES), lambda t, sb, sy, sx, first: (t, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((SC * SC * SUP * SUP, DC), jnp.bfloat16)],
     )
     kern = _make_kernel(T, D)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((tiles * T, LANES), jnp.float32),
         grid_spec=grid_spec, interpret=interpret,
-    )(sb, sy, sx, *([volp] * (SC * SC)), cds)
+    )(sb, sy, sx, first, *([volp] * (SC * SC)), cds)
 
 
 def roi_window_starts(centers_yx_vox, b_idx, H8: int, W8: int):
@@ -219,8 +221,15 @@ def trilinear_pool(dense, zyx, roi_centers_yx, roi_b, valid, *,
     sb_t = jnp.repeat(sb, tpr)
     sy_t = jnp.repeat(sy, tpr)
     sx_t = jnp.repeat(sx, tpr)
+    # first tile of each window: the kernel rebuilds its scratch window
+    # copy only there (consecutive tiles of one roi share the window)
+    changed = (
+        (sb_t[1:] != sb_t[:-1]) | (sy_t[1:] != sy_t[:-1])
+        | (sx_t[1:] != sx_t[:-1]))
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), changed.astype(jnp.int32)])
 
-    out = _interp_call(volp, cds, sb_t, sy_t, sx_t, T=tile, D=D,
+    out = _interp_call(volp, cds, sb_t, sy_t, sx_t, first, T=tile, D=D,
                        interpret=interpret)
     return out.reshape(R, S, LANES)[..., :C]
 
