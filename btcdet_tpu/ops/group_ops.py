@@ -335,6 +335,134 @@ def multi_ball_query_grouped(
     return out
 
 
+def multi_ball_query_grouped_cand(
+    xyz, xyz_mask, new_xyz, new_mask, radii, nsamples,
+    group_centers, group_size, cand_k: int = 512,
+):
+    """`multi_ball_query_grouped` variant returning CANDIDATE-relative
+    positions instead of global indices, for the one-hot-matmul gather
+    (`group_from_candidates`). The per-scale selection runs directly
+    over the full candidate width with the same first-in-point-order
+    score, so the neighbor SETS are identical to the grouped path; no
+    per-row index gathers appear anywhere in the tail (the 2.7M-row
+    gathers are this tail's dominant cost on TPU, ~10 ns/row).
+
+    Returns ([(cpos (B, R*G, ks) int32 into the roi's candidate table,
+    empty (B, R*G))...], cand (B, R, cand_k) global ids,
+    cand_xyz (B*R, cand_k, 3) f32, cand_ok (B*R, cand_k))."""
+    B, N, _ = xyz.shape
+    RG = new_xyz.shape[1]
+    G = int(group_size)
+    R = RG // G
+    r2 = []
+    for r in radii:
+        if isinstance(r, (list, tuple)):
+            r2.append((float(r[0]) ** 2, float(r[1]) ** 2))
+        else:
+            r2.append((0.0, float(r) ** 2))
+    BIG = jnp.float32(3.0e38)
+    cand_k = min(int(cand_k), N)
+
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    nvalid = jnp.max(jnp.where(xyz_mask, iota_n[None, :], -1)) + 1
+    tiers = [t for t in (4096, 16384) if cand_k < t < N]
+    xyz_sq = jnp.sum(xyz * xyz, axis=-1)
+    c_sq = jnp.sum(group_centers * group_centers, axis=-1)
+
+    def cands_width(width):
+        x = xyz[:, :width]
+        m = xyz_mask[:, :width]
+        cross = jnp.einsum("brc,bnc->brn", group_centers, x,
+                           preferred_element_type=jnp.float32)
+        d2 = c_sq[..., None] + xyz_sq[:, None, :width] - 2.0 * cross
+        neg = jnp.where(m[:, None, :], -d2, -BIG)
+        _, cd = jax.lax.approx_max_k(neg, cand_k, recall_target=0.95)
+        return cd.astype(jnp.int32)
+
+    def tier(i):
+        if i == len(tiers):
+            return lambda: cands_width(N)
+        return lambda: jax.lax.cond(
+            nvalid <= tiers[i], lambda: cands_width(tiers[i]), tier(i + 1))
+
+    cand = tier(0)()                       # (B, R, cand_k)
+    packed = jnp.concatenate(
+        [xyz, xyz_mask[..., None].astype(xyz.dtype)], axis=-1)
+    grow = cand + (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    cg = packed.reshape(B * N, 4)[grow.reshape(-1)].reshape(B * R, cand_k, 4)
+    cand_xyz = cg[..., :3]
+    cand_ok = cg[..., 3] > 0.5
+
+    qp = new_xyz.reshape(B * R, G, 3)
+    d2 = (jnp.sum(qp * qp, -1)[..., None]
+          + jnp.sum(cand_xyz * cand_xyz, -1)[:, None, :]
+          - 2.0 * jnp.einsum("rgc,rkc->rgk", qp, cand_xyz,
+                             preferred_element_type=jnp.float32))
+    ok_b = cand_ok[:, None, :]
+    order = -cand.reshape(B * R, 1, cand_k).astype(jnp.float32)
+    qm = new_mask.reshape(B * R, G)
+    out = []
+    for (lo, hi), ks in zip(r2, nsamples):
+        in_s = ok_b & (d2 <= hi) & (d2 >= lo)
+        sc = jnp.where(in_s, order, -BIG)
+        ss, p2 = jax.lax.top_k(sc, int(ks))       # (B*R, G, ks)
+        found = ss > -BIG / 2
+        cpos = jnp.where(found, p2, p2[..., 0:1])  # first-found fill
+        empty = (~found[..., 0]) | ~qm
+        out.append((cpos.reshape(B, RG, int(ks)).astype(jnp.int32),
+                    empty.reshape(B, RG)))
+    return out, cand, cand_xyz, cand_ok
+
+
+def split_hi_lo(x):
+    """f32 -> (bf16 hi, bf16 lo) with x ~= hi + lo to ~2^-17 relative.
+    Lets exact-one-hot bf16 matmuls carry f32-precision coordinates."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def group_from_candidates(
+    cand_feat, cpos, empty, new_xyz, use_xyz: bool = True,
+    rotate_matrix=None, xy_scale=None, z_scale=None, n_feat: int = 0,
+):
+    """Grouped gather as a per-roi one-hot batched matmul (replaces the
+    2.7M-row `group_from_idx` gathers of the grouped path).
+
+    cand_feat: (BR, ck, 6+C) bf16 [hi_xyz(3), lo_xyz(3), feats(C)]
+    cpos: (B, RG, ks) candidate positions; empty: (B, RG).
+    Returns (B, RG, ks, 3+C) like `group_from_idx` (offsets rotated /
+    scaled identically); xyz reconstructed hi+lo in f32 (~0.5 mm error
+    at KITTI ranges, far below the bf16 MLP noise downstream)."""
+    B, RG, ks = cpos.shape
+    BR, ck, C8 = cand_feat.shape
+    G = RG * B // BR
+    onehot = (
+        cpos.reshape(BR, G * ks, 1)
+        == jnp.arange(ck, dtype=jnp.int32)[None, None, :])
+    g = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), cand_feat,
+        dimension_numbers=((((2,), (1,)), ((0,), (0,)))),
+        preferred_element_type=jnp.float32)        # (BR, G*ks, 6+C)
+    g = g.reshape(B, RG, ks, C8)
+    grouped_xyz = g[..., 0:3] + g[..., 3:6]
+    grouped_feats = g[..., 6:6 + n_feat] if n_feat else None
+    offs = grouped_xyz - new_xyz[:, :, None, :]
+    offs = jnp.where(empty[..., None, None], 0.0, offs)
+    if rotate_matrix is not None:
+        offs = jnp.einsum("bmnj,bmij->bmni", offs, rotate_matrix)
+    if xy_scale is not None:
+        offs = offs.at[..., :2].divide(xy_scale[:, :, None, None])
+    if z_scale is not None:
+        offs = offs.at[..., 2:3].divide(z_scale[:, :, None, None])
+    if grouped_feats is not None:
+        grouped_feats = jnp.where(empty[..., None, None], 0.0, grouped_feats)
+        return (jnp.concatenate([offs, grouped_feats], axis=-1)
+                if use_xyz else grouped_feats)
+    assert use_xyz
+    return offs
+
+
 def ball_query_group(
     xyz: jax.Array,          # (B, N, 3)
     xyz_mask: jax.Array,     # (B, N) bool
@@ -512,27 +640,49 @@ class PointSAModuleMSG(nn.Module):
         group_centers=None, group_size=None,
     ):
         outs = []
+        grouped_per_scale = []
         if (self.approx_query and group_centers is not None
                 and group_size is not None):
-            queries = multi_ball_query_grouped(
+            # candidate-relative query + one-hot-matmul gather: no
+            # 2.7M-row index gathers anywhere in the tail
+            scales, cand, cand_xyz, cand_ok = multi_ball_query_grouped_cand(
                 xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
                 group_centers, group_size, cand_k=self.group_cand_k,
             )
+            B, N, _ = xyz.shape
+            R, ck = cand.shape[1], cand.shape[2]
+            hi, lo = split_hi_lo(cand_xyz)
+            parts = [hi, lo]
+            nf = 0
+            if features is not None:
+                grow = cand + (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+                cf = features.reshape(B * N, -1)[grow.reshape(-1)].reshape(
+                    B * R, ck, -1)
+                parts.append(cf.astype(jnp.bfloat16))
+                nf = cf.shape[-1]
+            cand_feat = jnp.concatenate(parts, axis=-1)
+            for cpos, empty in scales:
+                grouped_per_scale.append(group_from_candidates(
+                    cand_feat, cpos, empty, new_xyz, use_xyz=self.use_xyz,
+                    rotate_matrix=rotate_matrix, xy_scale=xy_scale,
+                    z_scale=z_scale, n_feat=nf,
+                ))
         else:
             queries = multi_ball_query(
                 xyz, xyz_mask, new_xyz, new_mask, self.radii, self.nsamples,
                 approx=self.approx_query,
             )
-        packed = (
-            jnp.concatenate([xyz, features], axis=-1)
-            if features is not None else None
-        )
-        for i, ((idx, empty), mlp) in enumerate(zip(queries, self.mlps)):
-            grouped = group_from_idx(
-                xyz, new_xyz, idx, empty, features=features, use_xyz=self.use_xyz,
-                rotate_matrix=rotate_matrix, xy_scale=xy_scale, z_scale=z_scale,
-                packed=packed,
+            packed = (
+                jnp.concatenate([xyz, features], axis=-1)
+                if features is not None else None
             )
+            for idx, empty in queries:
+                grouped_per_scale.append(group_from_idx(
+                    xyz, new_xyz, idx, empty, features=features,
+                    use_xyz=self.use_xyz, rotate_matrix=rotate_matrix,
+                    xy_scale=xy_scale, z_scale=z_scale, packed=packed,
+                ))
+        for i, (grouped, mlp) in enumerate(zip(grouped_per_scale, self.mlps)):
             h = GroupMLP(mlp, axis_name=self.axis_name, dtype=self.dtype,
                          name=f"mlp_{i}")(grouped, new_mask, train)
             if self.pool_method == "max_pool":

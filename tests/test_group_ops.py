@@ -240,3 +240,63 @@ def test_grouped_query_shell_scale_keeps_annulus_points():
     shell_idx, shell_empty = out[0]
     assert not bool(shell_empty[0, 0])
     np.testing.assert_array_equal(np.sort(np.asarray(shell_idx[0, 0])), [32, 33, 34, 35])
+
+
+def test_candidate_matmul_gather_matches_grouped_path():
+    """The candidate-relative query + one-hot-matmul gather
+    (multi_ball_query_grouped_cand + group_from_candidates) must produce
+    the same neighbor sets as multi_ball_query_grouped in the balls-fit
+    regime, and grouped tensors equal to group_from_idx up to the hi/lo
+    bf16 coordinate split (~2^-17 relative on xyz; features bf16-cast on
+    both paths downstream)."""
+    rng = np.random.RandomState(7)
+    B, R, G, N, C = 2, 4, 8, 64, 2
+    xyz = rng.rand(B, N, 3).astype(np.float32) * 40 - 20
+    mask = rng.rand(B, N) > 0.2
+    feats = rng.rand(B, N, C).astype(np.float32)
+    centers = rng.rand(B, R, 3).astype(np.float32) * 30 - 15
+    qpts = centers[:, :, None, :] + rng.randn(B, R, G, 3).astype(np.float32)
+    new_xyz = qpts.reshape(B, R * G, 3)
+    new_mask = rng.rand(B, R * G) > 0.1
+    radii, ns = [1.5, 3.0], [8, 16]
+
+    ref = group_ops.multi_ball_query_grouped(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz),
+        jnp.asarray(new_mask), radii, ns, jnp.asarray(centers), G, cand_k=N)
+    scales, cand, cand_xyz, cand_ok = group_ops.multi_ball_query_grouped_cand(
+        jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(new_xyz),
+        jnp.asarray(new_mask), radii, ns, jnp.asarray(centers), G, cand_k=N)
+
+    hi, lo = group_ops.split_hi_lo(cand_xyz)
+    grow = np.asarray(cand) + (np.arange(B) * N)[:, None, None]
+    cf = feats.reshape(B * N, C)[grow.reshape(-1)].reshape(B * R, N, C)
+    cand_feat = jnp.concatenate(
+        [hi, lo, jnp.asarray(cf).astype(jnp.bfloat16)], axis=-1)
+
+    for (cpos, ce), (ri, re) in zip(scales, ref):
+        np.testing.assert_array_equal(np.asarray(ce), np.asarray(re))
+        # map candidate positions -> global ids; sets must match where
+        # not empty (first-fill slots map identically)
+        got_ids = np.take_along_axis(
+            np.repeat(np.asarray(cand).reshape(B * R, 1, N), G, axis=1),
+            np.asarray(cpos).reshape(B * R, G, -1), axis=2).reshape(
+                B, R * G, -1)
+        valid = ~np.asarray(re)[..., None]
+        np.testing.assert_array_equal(
+            np.where(valid, got_ids, 0),
+            np.where(valid, np.asarray(ri), 0))
+
+        grouped_ref = group_ops.group_from_idx(
+            jnp.asarray(xyz), jnp.asarray(new_xyz), ri, re,
+            features=jnp.asarray(feats), use_xyz=True)
+        grouped_got = group_ops.group_from_candidates(
+            cand_feat, cpos, ce, jnp.asarray(new_xyz), use_xyz=True,
+            n_feat=C)
+        # xyz offsets: hi/lo split error ~|x| * 2^-17 (<= 1e-3 at 40 m);
+        # features ride bf16 (rel ~0.4%)
+        np.testing.assert_allclose(
+            np.asarray(grouped_got[..., :3]),
+            np.asarray(grouped_ref[..., :3]), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(grouped_got[..., 3:]),
+            np.asarray(grouped_ref[..., 3:]), atol=8e-3)
